@@ -1,0 +1,305 @@
+"""SMPL-family body model as a pure pytree + fused jnp LBS.
+
+Replaces the vendored torch smplx package of the reference
+(``utils/smplx/body_models.py``, ``utils/smplx/lbs.py``).  The model is a
+NamedTuple of arrays; ``lbs()`` is one jit-friendly function returning
+vertices, joints and — like the reference's modified smplx — the per-joint
+4x4 affines ``A`` needed for avatar re-skinning
+(``utils/smplx/body_models.py:1332-1400``, ``utils/smplx/lbs.py:147-246``).
+
+The kinematic-chain accumulation unrolls over the (static) parent array: with
+J<=55 joints this traces to a short chain of batched 4x4 matmuls, which XLA
+fuses far better than a ``lax.scan`` with gather-by-parent.
+
+Loading the official SMPL-X ``.npz`` (user-supplied, proprietary — never
+vendored) is supported via :func:`load_smplx_npz`; tests use
+:func:`make_test_body`, a small procedurally generated articulated "body" with
+the same structure.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.transforms import batch_rodrigues, transform_mat
+
+
+class BodyModel(NamedTuple):
+    v_template: jnp.ndarray  # [V, 3]
+    shapedirs: jnp.ndarray  # [V, 3, S] (betas [+ expression] dirs concatenated)
+    posedirs: jnp.ndarray  # [(J-1)*9, V*3]
+    J_regressor: jnp.ndarray  # [J, V]
+    lbs_weights: jnp.ndarray  # [V, J]
+    parents: Tuple[int, ...]  # static kinematic tree, parents[0] == -1
+    faces: jnp.ndarray  # [F, 3] int32
+    num_betas: int  # leading shape coords that are betas (rest: expression)
+
+    @property
+    def num_joints(self) -> int:
+        return len(self.parents)
+
+    @property
+    def num_verts(self) -> int:
+        return self.v_template.shape[0]
+
+
+class LBSOutput(NamedTuple):
+    vertices: jnp.ndarray  # [B, V, 3]
+    joints: jnp.ndarray  # [B, J, 3]
+    A: jnp.ndarray  # [B, J, 4, 4] per-joint world affines (transl included)
+
+
+def lbs(
+    model: BodyModel,
+    shape_components: jnp.ndarray,  # [B, S]
+    full_pose: jnp.ndarray,  # [B, J*3] axis-angle (global_orient first)
+    transl: Optional[jnp.ndarray] = None,  # [B, 3]
+) -> LBSOutput:
+    """Linear blend skinning, mirroring ``utils/smplx/lbs.py:147-246``.
+
+    Translation is applied to vertices, joints AND baked into ``A[..., :3, 3]``
+    exactly as the reference does (``utils/smplx/body_models.py:1381-1384``),
+    so ``A`` maps canonical-joint-local points directly to world space.
+    """
+    B = full_pose.shape[0]
+    J = model.num_joints
+
+    # Shape blendshapes: [B, V, 3].
+    v_shaped = model.v_template + jnp.einsum(
+        "bl,mkl->bmk", shape_components, model.shapedirs
+    )
+    # Joint locations from the shaped template.
+    joints = jnp.einsum("bik,ji->bjk", v_shaped, model.J_regressor)
+
+    rot_mats = batch_rodrigues(full_pose.reshape(B, J, 3))  # [B, J, 3, 3]
+
+    # Pose blendshapes (exclude root joint).
+    ident = jnp.eye(3, dtype=v_shaped.dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)
+    pose_offsets = (pose_feature @ model.posedirs).reshape(B, -1, 3)
+    v_posed = v_shaped + pose_offsets
+
+    # Rigid kinematic chain (``lbs.py:343-396`` batch_rigid_transform),
+    # unrolled over the static parent list.
+    rel_joints = joints - jnp.concatenate(
+        [jnp.zeros_like(joints[:, :1]), joints[:, list(model.parents[1:])]], axis=1
+    )
+    local_T = transform_mat(rot_mats, rel_joints)  # [B, J, 4, 4]
+    chain = [local_T[:, 0]]
+    for j in range(1, J):
+        chain.append(chain[model.parents[j]] @ local_T[:, j])
+    world_T = jnp.stack(chain, axis=1)  # [B, J, 4, 4]
+    posed_joints = world_T[..., :3, 3]
+
+    # Subtract the rest-pose joint contribution: A = T - [0 | T @ j_rest].
+    joints_h = jnp.concatenate([joints, jnp.zeros_like(joints[..., :1])], axis=-1)
+    shifted = jnp.einsum("bjxy,bjy->bjx", world_T, joints_h)  # [B, J, 4]
+    A = world_T.at[..., :, 3].add(-shifted)
+
+    # Skinning.
+    T = jnp.einsum("vj,bjxy->bvxy", model.lbs_weights, A)
+    v_h = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
+    verts = jnp.einsum("bvxy,bvy->bvx", T, v_h)[..., :3]
+
+    if transl is not None:
+        verts = verts + transl[:, None]
+        posed_joints = posed_joints + transl[:, None]
+        A = A.at[..., :3, 3].add(transl[:, None, :])
+
+    return LBSOutput(vertices=verts, joints=posed_joints, A=A)
+
+
+# SMPL-X full-pose segment layout (``utils/smplx/body_models.py:1290-1320``):
+# global_orient(1) body(21) jaw(1) leye(1) reye(1) lhand(15) rhand(15) = 55.
+SMPLX_SEGMENTS = (
+    ("global_orient", 1),
+    ("body_pose", 21),
+    ("jaw_pose", 1),
+    ("leye_pose", 1),
+    ("reye_pose", 1),
+    ("left_hand_pose", 15),
+    ("right_hand_pose", 15),
+)
+
+
+def assemble_smplx_pose(
+    params: Dict[str, jnp.ndarray], batch: int, num_joints: int = 55
+) -> jnp.ndarray:
+    """Concatenate SMPL-X pose segments (axis-angle, flattened) into the full
+    [B, J*3] pose vector; missing segments default to zeros.
+
+    For non-SMPL-X joint counts (e.g. the synthetic test body) the layout
+    degrades to global_orient + body_pose covering all J-1 remaining joints.
+    """
+    if num_joints == 55:
+        segments = SMPLX_SEGMENTS
+    else:
+        segments = (("global_orient", 1), ("body_pose", num_joints - 1))
+    parts = []
+    for name, njoints in segments:
+        p = params.get(name)
+        if p is None:
+            p = jnp.zeros((batch, njoints * 3))
+        else:
+            p = jnp.reshape(p, (batch, njoints * 3))
+        parts.append(p)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def smplx_forward(
+    model: BodyModel,
+    params: Dict[str, jnp.ndarray],
+) -> LBSOutput:
+    """SMPL-X forward from a reference-style param dict
+    (betas / body_pose / global_orient / transl / hand & face poses /
+    expression), cf. ``utils/smpl.py:601-607``."""
+    betas = jnp.atleast_2d(params["betas"])
+    B = max(
+        betas.shape[0],
+        params.get("body_pose", jnp.zeros((1, 1))).shape[0]
+        if "body_pose" in params
+        else 1,
+    )
+    if betas.shape[0] != B:
+        betas = jnp.broadcast_to(betas, (B, betas.shape[-1]))
+    n_expr = model.shapedirs.shape[-1] - model.num_betas
+    expr = params.get("expression")
+    if n_expr > 0:
+        if expr is None:
+            expr = jnp.zeros((B, n_expr))
+        shape_components = jnp.concatenate(
+            [betas[:, : model.num_betas], jnp.reshape(expr, (B, -1))[:, :n_expr]],
+            axis=-1,
+        )
+    else:
+        shape_components = betas[:, : model.num_betas]
+    full_pose = assemble_smplx_pose(params, B, model.num_joints)
+    transl = params.get("transl")
+    if transl is not None:
+        transl = jnp.reshape(transl, (B, 3))
+    return lbs(model, shape_components, full_pose, transl)
+
+
+def load_smplx_npz(
+    path: str, num_betas: int = 10, num_expression: int = 10
+) -> BodyModel:
+    """Load the official MPI SMPL-X ``.npz`` (e.g. SMPLX_NEUTRAL.npz).
+
+    The file is user-supplied; layout follows the smplx package's
+    ``data_struct`` fields (``utils/smplx/body_models.py:1100-1170``).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"SMPL-X model file not found: {path}. Download from "
+            "https://smpl-x.is.tue.mpg.de/ (proprietary, not vendored)."
+        )
+    with np.load(path, allow_pickle=True) as data:
+        v_template = np.asarray(data["v_template"], np.float32)
+        shapedirs_all = np.asarray(data["shapedirs"], np.float32)
+        # SMPL-X packs 300 shape + 100 expression dirs; slice like the
+        # reference (``body_models.py:1135-1160``).
+        if shapedirs_all.shape[-1] >= 400:
+            shapedirs = np.concatenate(
+                [
+                    shapedirs_all[..., :num_betas],
+                    shapedirs_all[..., 300 : 300 + num_expression],
+                ],
+                axis=-1,
+            )
+        else:
+            shapedirs = shapedirs_all[..., : num_betas + num_expression]
+        posedirs = np.asarray(data["posedirs"], np.float32)
+        posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # [(J-1)*9, V*3]
+        # posedirs stored as [V, 3, P] -> [P, V*3]
+        J_regressor = np.asarray(data["J_regressor"], np.float32)
+        weights = np.asarray(data["weights"], np.float32)
+        kintree = np.asarray(data["kintree_table"], np.int64)
+        parents = kintree[0].astype(np.int64)
+        parents[0] = -1
+        faces = np.asarray(data["f"], np.int32)
+    return BodyModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        J_regressor=jnp.asarray(J_regressor),
+        lbs_weights=jnp.asarray(weights),
+        parents=tuple(int(p) for p in parents),
+        faces=jnp.asarray(faces),
+        num_betas=num_betas,
+    )
+
+
+def make_test_body(
+    num_joints: int = 5,
+    segments_per_bone: int = 4,
+    ring: int = 8,
+    num_betas: int = 4,
+    seed: int = 0,
+) -> BodyModel:
+    """Procedural articulated "capsule chain" body for tests.
+
+    A chain of ``num_joints`` bones along +y, each bone wrapped in a tube of
+    vertices; LBS weights interpolate linearly between adjacent joints.  Same
+    array structure as SMPL-X so every downstream component (skinning, avatar
+    init, renderer) exercises identically.
+    """
+    rng = np.random.RandomState(seed)
+    J = num_joints
+    bone_len = 0.25
+    verts = []
+    weights = []
+    radius = 0.06
+    n_rows = J * segments_per_bone
+    for row in range(n_rows + 1):
+        y = row / segments_per_bone * bone_len
+        joint_f = row / segments_per_bone  # fractional joint coordinate
+        j0 = min(int(np.floor(joint_f)), J - 1)
+        j1 = min(j0 + 1, J - 1)
+        t = joint_f - j0 if j1 > j0 else 0.0
+        for k in range(ring):
+            a = 2 * np.pi * k / ring
+            verts.append([radius * np.cos(a), y, radius * np.sin(a)])
+            w = np.zeros(J)
+            w[j0] = 1.0 - t
+            w[j1] += t
+            weights.append(w)
+    v_template = np.asarray(verts, np.float32)
+    lbs_weights = np.asarray(weights, np.float32)
+    V = v_template.shape[0]
+
+    # Faces: triangulate the tube between consecutive rings.
+    faces = []
+    for row in range(n_rows):
+        for k in range(ring):
+            a = row * ring + k
+            b = row * ring + (k + 1) % ring
+            c = (row + 1) * ring + k
+            d = (row + 1) * ring + (k + 1) % ring
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    faces = np.asarray(faces, np.int32)
+
+    # J_regressor: joint j at the ring nearest y = j * bone_len.
+    J_regressor = np.zeros((J, V), np.float32)
+    for j in range(J):
+        row = j * segments_per_bone
+        J_regressor[j, row * ring : (row + 1) * ring] = 1.0 / ring
+
+    parents = tuple([-1] + list(range(J - 1)))
+    shapedirs = (rng.randn(V, 3, num_betas) * 0.01).astype(np.float32)
+    posedirs = (rng.randn((J - 1) * 9, V * 3) * 1e-4).astype(np.float32)
+
+    return BodyModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        J_regressor=jnp.asarray(J_regressor),
+        lbs_weights=jnp.asarray(lbs_weights),
+        parents=parents,
+        faces=jnp.asarray(faces),
+        num_betas=num_betas,
+    )

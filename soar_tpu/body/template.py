@@ -1,0 +1,130 @@
+"""Template-mesh processing for avatar initialization (init-time numpy).
+
+Replaces trimesh usage in the reference: midpoint subdivision
+(``utils/smpl.py:89-96`` ``init_xyz_on_mesh`` via ``trimesh.remesh.subdivide``)
+and the mesh-normal / face-area based quaternion-scale-opacity init
+(``utils/smpl.py:99-143`` ``init_qso_on_mesh``).
+
+These run once at startup on the host; numpy is the right tool (no jit).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def subdivide(
+    verts: np.ndarray, faces: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One round of midpoint (Loop-connectivity) subdivision: each edge gets a
+    unique midpoint vertex, each face becomes 4.  Matches
+    ``trimesh.remesh.subdivide`` connectivity."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+    )
+    edges_sorted = np.sort(edges, axis=1)
+    uniq, inverse = np.unique(edges_sorted, axis=0, return_inverse=True)
+    midpoints = verts[uniq].mean(axis=1)
+    mid_idx = inverse.reshape(3, -1).T + len(verts)  # [F, 3]: m01, m12, m20
+
+    new_verts = np.concatenate([verts, midpoints], axis=0)
+    f = faces
+    m01, m12, m20 = mid_idx[:, 0], mid_idx[:, 1], mid_idx[:, 2]
+    new_faces = np.concatenate(
+        [
+            np.stack([f[:, 0], m01, m20], axis=1),
+            np.stack([m01, f[:, 1], m12], axis=1),
+            np.stack([m20, m12, f[:, 2]], axis=1),
+            np.stack([m01, m12, m20], axis=1),
+        ],
+        axis=0,
+    )
+    return new_verts.astype(np.float32), new_faces.astype(np.int64)
+
+
+def subdivide_n(
+    verts: np.ndarray, faces: np.ndarray, n: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``init_xyz_on_mesh``: n rounds of subdivision
+    (``utils/smpl.py:89-96``; SOAR uses n=2 -> ~110k points from 10,475
+    SMPL-X verts, SURVEY §3.5)."""
+    for _ in range(n):
+        verts, faces = subdivide(verts, faces)
+    return verts, faces
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (trimesh ``vertex_normals`` semantics)."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normals
+    vn = np.zeros_like(verts)
+    for i in range(3):
+        np.add.at(vn, faces[:, i], fn)
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return vn / np.maximum(norm, 1e-12)
+
+
+def vertex_area_radius(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Per-vertex disk radius from 1/3 of adjacent face areas
+    (``utils/smpl.py:122-129``)."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    area = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1) / 2.0
+    vtx_area = np.zeros(len(verts))
+    for i in range(3):
+        np.add.at(vtx_area, faces[:, i], area / 3.0)
+    return np.sqrt(vtx_area / np.pi)
+
+
+def init_qso_on_mesh(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    scale_init_factor: float = 1.0,
+    thickness_init_factor: float = 0.5,
+    max_scale: float = 0.1,
+    min_scale: float = 0.0,
+    opacity_base: float = 0.9,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quaternion / scale-logit / opacity-logit init on a template mesh,
+    mirroring ``init_qso_on_mesh`` (``utils/smpl.py:99-143``): frames with
+    local z = vertex normal and random in-plane tangents; radius from vertex
+    area clamped into (min_scale, max_scale) with the reference's 1e-4 eps;
+    scale logits via log (the geometry's ``scaling_activation`` is exp,
+    ``surfel_base.py:131``).
+
+    Returns (quats_wxyz [V,4], scale_logits [V,3], opacity_logits [V,1]).
+    """
+    rng = np.random.RandomState(seed)
+    uz = vertex_normals(verts, faces)
+    rand_dir = rng.randn(*uz.shape)
+    ux = np.cross(uz, rand_dir)
+    ux /= np.maximum(np.linalg.norm(ux, axis=-1, keepdims=True), 1e-12)
+    uy = np.cross(uz, ux)
+    uy /= np.maximum(np.linalg.norm(uy, axis=-1, keepdims=True), 1e-12)
+    frame = np.stack([ux, uy, uz], axis=-1)  # columns
+
+    # matrix -> wxyz quaternion (numpy mirror of core.transforms.rotmat_to_quat)
+    from ..core import transforms as T
+    import jax.numpy as jnp
+
+    quats = np.asarray(T.rotmat_to_quat(jnp.asarray(frame)))
+
+    radius = vertex_area_radius(verts, faces)
+    radius = np.clip(
+        radius * scale_init_factor, min_scale + 1e-4, max_scale - 1e-4
+    )
+    thickness = np.clip(
+        radius * thickness_init_factor, min_scale + 1e-4, max_scale - 1e-4
+    )
+    scale_logits = np.stack(
+        [np.log(radius), np.log(radius), np.log(thickness)], axis=-1
+    ).astype(np.float32)
+
+    opacity_logit = float(np.log(opacity_base / (1.0 - opacity_base)))
+    opacity_logits = np.full((len(verts), 1), opacity_logit, np.float32)
+    return quats.astype(np.float32), scale_logits, opacity_logits

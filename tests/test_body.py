@@ -1,0 +1,154 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soar_tpu.body import BodyModel, lbs, make_test_body
+from soar_tpu.body.model import smplx_forward
+from soar_tpu.body.skinning import (
+    knn_idw_weights,
+    make_skinning_data,
+    mean_knn_sq_dist,
+    point_skinning_mats,
+    apply_point_mats,
+)
+
+
+def test_lbs_rest_pose_identity():
+    body = make_test_body()
+    B = 1
+    out = lbs(
+        body,
+        jnp.zeros((B, body.num_betas)),
+        jnp.zeros((B, body.num_joints * 3)),
+    )
+    np.testing.assert_allclose(out.vertices[0], body.v_template, atol=1e-5)
+    # Rest-pose affines are identity.
+    np.testing.assert_allclose(
+        out.A[0], np.tile(np.eye(4), (body.num_joints, 1, 1)), atol=1e-5
+    )
+
+
+def test_lbs_two_joint_chain_rotation():
+    """Hand-computed check: rotating joint 1 by 90deg about z pivots everything
+    above joint 1 around its rest location."""
+    body = make_test_body(num_joints=3, segments_per_bone=2, ring=4)
+    pose = np.zeros((1, body.num_joints * 3), np.float32)
+    pose[0, 3 + 2] = np.pi / 2  # joint 1, z-axis
+    out = lbs(body, jnp.zeros((1, body.num_betas)), jnp.asarray(pose))
+
+    rest = lbs(
+        body,
+        jnp.zeros((1, body.num_betas)),
+        jnp.zeros((1, body.num_joints * 3)),
+    )
+    j1 = np.asarray(rest.joints[0, 1])
+    Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+
+    # Joint 2 should move to j1 + Rz @ (j2_rest - j1).
+    j2_rest = np.asarray(rest.joints[0, 2])
+    expected = j1 + Rz @ (j2_rest - j1)
+    np.testing.assert_allclose(out.joints[0, 2], expected, atol=1e-4)
+
+    # A[1] should equal the affine x -> j1 + Rz (x - j1) (posedirs are tiny
+    # but nonzero in the fixture, hence loose-ish tolerance on verts only).
+    A1 = np.asarray(out.A[0, 1])
+    np.testing.assert_allclose(A1[:3, :3], Rz, atol=1e-5)
+    np.testing.assert_allclose(A1[:3, 3], j1 - Rz @ j1, atol=1e-5)
+
+
+def test_lbs_translation_baked_into_A():
+    body = make_test_body()
+    t = jnp.array([[0.3, -0.2, 0.75]])
+    out = lbs(
+        body,
+        jnp.zeros((1, body.num_betas)),
+        jnp.zeros((1, body.num_joints * 3)),
+        transl=t,
+    )
+    np.testing.assert_allclose(
+        out.vertices[0], body.v_template + t[0], atol=1e-5
+    )
+    np.testing.assert_allclose(out.A[0, :, :3, 3], np.tile(t, (body.num_joints, 1)), atol=1e-5)
+
+
+def test_smplx_forward_param_dict():
+    body = make_test_body()
+    params = {
+        "betas": jnp.zeros((1, body.num_betas)),
+        "global_orient": jnp.zeros((1, 3)),
+        "body_pose": jnp.zeros((1, (body.num_joints - 1) * 3)),
+        "transl": jnp.array([[0.0, 0.1, 0.0]]),
+    }
+    out = smplx_forward(body, params)
+    assert out.vertices.shape == (1, body.num_verts, 3)
+    assert out.A.shape == (1, body.num_joints, 4, 4)
+
+
+def test_knn_idw_weights_matches_bruteforce():
+    key = jax.random.PRNGKey(0)
+    verts = jax.random.normal(key, (200, 3))
+    w_ref = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1), (200, 5)))
+    pts = jax.random.normal(jax.random.PRNGKey(2), (50, 3)) * 0.5
+
+    K = 7
+    got = knn_idw_weights(pts, verts, w_ref, k=K)
+
+    # numpy brute force mirroring utils/smpl.py:617-637
+    P, V = np.asarray(pts), np.asarray(verts)
+    d2 = ((P[:, None] - V[None]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :K]
+    dist = np.clip(np.sqrt(np.take_along_axis(d2, idx, 1)), 1e-4, 1.0)
+    ws = 1.0 / dist
+    ws = ws / ws.sum(-1, keepdims=True)
+    expected = (ws[..., None] * np.asarray(w_ref)[idx]).sum(-2)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-4)
+
+
+def test_mean_knn_sq_dist_grid():
+    # Unit-spaced 1D lattice: the 3 nearest others are at distances 1, 1, 2.
+    pts = jnp.stack(
+        [jnp.arange(10.0), jnp.zeros(10), jnp.zeros(10)], axis=-1
+    )
+    d2 = mean_knn_sq_dist(pts, k=3)
+    # Interior points: (1 + 1 + 4) / 3 = 2.
+    np.testing.assert_allclose(d2[2:8], 2.0, atol=1e-5)
+
+
+def test_point_skinning_rigid_consistency():
+    """Skinning with weights=onehot(j) must reproduce A_live @ A_cano^-1."""
+    body = make_test_body()
+    cano_pose = np.zeros((1, body.num_joints * 3), np.float32)
+    cano_pose[0, 5] = 0.3  # some canonical pose
+    cano = lbs(body, jnp.zeros((1, body.num_betas)), jnp.asarray(cano_pose))
+
+    live_pose = np.zeros((1, body.num_joints * 3), np.float32)
+    live_pose[0, 3:6] = [0.2, -0.4, 0.1]
+    live = lbs(body, jnp.zeros((1, body.num_betas)), jnp.asarray(live_pose))
+
+    pts = cano.vertices[0][:16]
+    skin = make_skinning_data(
+        body.lbs_weights, cano.A[0], cano.vertices[0], pts, k=4
+    )
+    mats = point_skinning_mats(skin, live.A[0])
+    posed = apply_point_mats(mats, pts)
+    assert posed.shape == (16, 3)
+
+    # One-hot check for joint 1.
+    onehot = jnp.zeros((1, body.num_joints)).at[0, 1].set(1.0)
+    skin1 = skin._replace(point_weights=onehot)
+    m1 = point_skinning_mats(skin1, live.A[0])[0]
+    expected = np.asarray(live.A[0, 1]) @ np.linalg.inv(np.asarray(cano.A[0, 1]))
+    np.testing.assert_allclose(m1, expected, atol=1e-4)
+
+
+def test_template_subdivision_counts():
+    from soar_tpu.body.template import subdivide_n, init_qso_on_mesh
+
+    body = make_test_body()
+    v, f = np.asarray(body.v_template), np.asarray(body.faces)
+    v2, f2 = subdivide_n(v, f, 2)
+    assert len(f2) == len(f) * 16
+    q, s, o = init_qso_on_mesh(v2, f2)
+    assert q.shape == (len(v2), 4) and s.shape == (len(v2), 3)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
