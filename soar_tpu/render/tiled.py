@@ -1,0 +1,198 @@
+"""Production tile-binned surfel rasterizer (pure XLA, differentiable).
+
+TPU redesign of the reference CUDA pipeline
+(``cuda_rasterizer/rasterizer_impl.cu:188-313``):
+
+- CUB prefix-sum + radix-sort over variable-length (tile, depth) key
+  duplicates becomes a STATIC duplication: each surfel emits ``dup_side^2``
+  tile slots (surfels overlapping more tiles are footprint-capped), and one
+  ``jax.lax.sort`` over (tile_id, depth) pairs orders everything — culled
+  surfels route to a sentinel tile that sorts last.
+- per-tile ranges come from ``searchsorted`` instead of a boundary kernel
+  (``identifyTileRanges``).
+- the per-tile sequential blend loop becomes a dense
+  [tiles, pixels, max_per_tile] cumulative-product composite
+  (:mod:`soar_tpu.render.composite`) — depth-ordered semantics preserved,
+  but fully vectorized on the VPU and differentiable by autodiff, replacing
+  the 1000-line hand-written ``backward.cu``.
+
+Static capacities (``dup_side``, ``max_per_tile``) replace dynamic allocation;
+both are config knobs validated against the per-pixel oracle in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from .composite import composite_weights, finalize, splat_alpha
+from .preprocess import preprocess
+from .types import GaussianInputs, Preprocessed, RasterConfig, RenderOutputs
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def bin_and_sort(
+    pre: Preprocessed,
+    image_size: Tuple[int, int],
+    cfg: RasterConfig,
+):
+    """Duplicate surfels into per-tile slots and depth-sort within tiles.
+
+    Returns (sorted surfel indices [M], their tile ids [M], per-tile start
+    offsets [NT], per-tile counts [NT]).
+    """
+    H, W = image_size
+    tile = cfg.tile
+    ntx, nty = _cdiv(W, tile), _cdiv(H, tile)
+    NT = ntx * nty
+    N = pre.xy.shape[0]
+    S = cfg.dup_side
+
+    # Tile rect per surfel (``auxiliary.h:53-63`` getRect), clamped to grid.
+    x, y = pre.xy[:, 0], pre.xy[:, 1]
+    r = pre.radius
+    rect_min_x = jnp.clip(jnp.floor((x - r) / tile), 0, ntx).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((y - r) / tile), 0, nty).astype(jnp.int32)
+    rect_max_x = jnp.clip(
+        jnp.floor((x + r + tile - 1) / tile), 0, ntx
+    ).astype(jnp.int32)
+    rect_max_y = jnp.clip(
+        jnp.floor((y + r + tile - 1) / tile), 0, nty
+    ).astype(jnp.int32)
+
+    dxy = jnp.arange(S, dtype=jnp.int32)
+    dx = jnp.tile(dxy, S)  # [S*S]
+    dy = jnp.repeat(dxy, S)
+    tx = rect_min_x[:, None] + dx[None, :]
+    ty = rect_min_y[:, None] + dy[None, :]
+    slot_ok = (
+        (tx < rect_max_x[:, None])
+        & (ty < rect_max_y[:, None])
+        & pre.valid[:, None]
+    )
+    tile_id = jnp.where(slot_ok, ty * ntx + tx, NT).astype(jnp.int32)
+
+    depth_key = pre.depth
+    if cfg.sort_descending:
+        depth_key = -depth_key
+    depth_key = jnp.broadcast_to(depth_key[:, None], (N, S * S))
+
+    surfel_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, S * S)
+    )
+
+    tile_flat = tile_id.reshape(-1)
+    key_flat = depth_key.reshape(-1)
+    idx_flat = surfel_idx.reshape(-1)
+
+    sorted_tile, _, sorted_idx = jax.lax.sort(
+        (tile_flat, key_flat, idx_flat), num_keys=2
+    )
+
+    boundaries = jnp.arange(NT, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, boundaries, side="left")
+    ends = jnp.searchsorted(sorted_tile, boundaries, side="right")
+    counts = (ends - starts).astype(jnp.int32)
+    return sorted_idx, starts.astype(jnp.int32), counts, (ntx, nty)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("image_size", "cfg"),
+)
+def rasterize(
+    g: GaussianInputs,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    cfg: RasterConfig = RasterConfig(),
+) -> RenderOutputs:
+    """Render one view.  Returns images shaped [H, W, ...]."""
+    H, W = image_size
+    tile = cfg.tile
+    K = cfg.max_per_tile
+
+    pre = preprocess(g, camera, image_size, cfg)
+    sorted_idx, starts, counts, (ntx, nty) = bin_and_sort(pre, image_size, cfg)
+    NT = ntx * nty
+    M = sorted_idx.shape[0]
+
+    # First-K gather per tile: entries are depth-sorted within each tile, so
+    # truncation drops the FARTHEST splats — exactly the ones a saturated
+    # front-to-back composite ignores (opacity is forced to 1 in SOAR,
+    # ``renderer/diff_gaussian_rasterizer.py:259``).
+    k_ar = jnp.arange(K, dtype=jnp.int32)
+    entry = jnp.minimum(starts[:, None] + k_ar[None, :], M - 1)  # [NT, K]
+    slot_valid = k_ar[None, :] < jnp.minimum(counts, K)[:, None]
+    gidx = sorted_idx[entry]  # [NT, K] surfel ids
+
+    xy = pre.xy[gidx]  # [NT, K, 2]
+    conic = pre.conic[gidx]
+    opac = pre.opacities[gidx]
+    colors = pre.colors[gidx]
+    normals = pre.normal_view[gidx]
+    depths = pre.depth[gidx]
+    jinv = pre.jinv[gidx]
+
+    # Per-tile pixel coordinates [NT, tile*tile, 2].
+    tx = (jnp.arange(NT, dtype=jnp.int32) % ntx) * tile
+    ty = (jnp.arange(NT, dtype=jnp.int32) // ntx) * tile
+    lx = jnp.tile(jnp.arange(tile, dtype=jnp.float32), tile)
+    ly = jnp.repeat(jnp.arange(tile, dtype=jnp.float32), tile)
+    pixf = jnp.stack(
+        [tx[:, None] + lx[None, :], ty[:, None] + ly[None, :]], axis=-1
+    )  # [NT, P, 2]
+
+    d = xy[:, None, :, :] - pixf[:, :, None, :]  # [NT, P, K, 2]
+    alpha = splat_alpha(
+        d,
+        conic[:, None],
+        opac[:, None],
+        slot_valid[:, None],
+        cfg.alpha_clamp,
+        cfg.alpha_min,
+    )  # [NT, P, K]
+    weights, t_final = composite_weights(alpha, cfg.transmittance_min)
+
+    if cfg.surface and cfg.perpix_depth:
+        # Plane-corrected depth (``forward.cu:555-584``): only the z row of
+        # the tangent offset is needed.
+        du0 = d[..., 0] * jinv[:, None, :, 0] + d[..., 1] * jinv[:, None, :, 1]
+        du1 = d[..., 0] * jinv[:, None, :, 2] + d[..., 1] * jinv[:, None, :, 3]
+        dif_z = du0 * jinv[:, None, :, 6] + du1 * jinv[:, None, :, 9]
+        depth_k = depths[:, None, :] - dif_z
+    else:
+        depth_k = jnp.broadcast_to(depths[:, None, :], alpha.shape)
+
+    bg = jnp.asarray(bg_color)
+    color, normal, depth, opac_out, T = finalize(
+        weights,
+        t_final,
+        jnp.broadcast_to(colors[:, None], (NT, tile * tile) + colors.shape[1:]),
+        jnp.broadcast_to(normals[:, None], (NT, tile * tile) + normals.shape[1:]),
+        depth_k,
+        bg,
+        cfg.surface,
+        cfg.normalize_depth,
+    )
+
+    def untile(img_flat, ch):
+        img = img_flat.reshape(nty, ntx, tile, tile, ch)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, ch)
+        return img[:H, :W]
+
+    C = colors.shape[-1]
+    return RenderOutputs(
+        color=untile(color, C),
+        normal=untile(normal, 3),
+        depth=untile(depth[..., None], 1)[..., 0],
+        opac=untile(opac_out[..., None], 1)[..., 0],
+        transmittance=untile(T[..., None], 1)[..., 0],
+    )

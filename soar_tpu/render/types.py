@@ -1,0 +1,75 @@
+"""Rasterizer input/output/config types."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+class GaussianInputs(NamedTuple):
+    """Per-surfel rasterizer inputs (world space, post-LBS).
+
+    Mirrors the tensor args of the reference's rasterizer binding
+    (``diff_gaussian_rasterization/__init__.py:267-300``) minus the torch
+    marshalling: colors are always precomputed upstream (the SOAR renderer
+    always passes ``colors_precomp``, ``renderer/diff_gaussian_rasterizer.py:
+    239-244``); SH evaluation lives in :mod:`soar_tpu.core.sh` and is applied
+    before calling the rasterizer.
+    """
+
+    means3d: jnp.ndarray  # [N, 3]
+    quats: jnp.ndarray  # [N, 4] wxyz, normalized
+    scales: jnp.ndarray  # [N, 3] world-space scales (z ignored when surface)
+    opacities: jnp.ndarray  # [N] in [0, 1]
+    colors: jnp.ndarray  # [N, C]
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterization switches.
+
+    ``surface / normalize_depth / perpix_depth`` mirror the reference's
+    3-float ``config`` tensor (``geometry/surfel_base.py:163-166`` builds
+    ``[True, True, True]``; consumed at ``cuda_rasterizer/forward.cu:275,464``).
+    ``render_front`` culls back-facing surfels (occlusion pass,
+    ``forward.cu:287-289``); ``sort_descending`` renders the far surface
+    (back-normal pass, ``rasterizer_impl.cu:269-289``).
+    """
+
+    surface: bool = True
+    normalize_depth: bool = True
+    perpix_depth: bool = True
+    render_front: bool = False
+    sort_descending: bool = False
+    tile: int = 16  # BLOCK_X/BLOCK_Y (config.h)
+    max_per_tile: int = 96  # static per-tile compositing capacity
+    dup_side: int = 3  # static cap: each surfel touches <= dup_side^2 tiles
+    scale_modifier: float = 1.0
+    low_pass: float = 0.3  # 2D covariance dilation (forward.cu:119-120)
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    transmittance_min: float = 1e-4
+
+
+class Preprocessed(NamedTuple):
+    """Per-surfel screen-space quantities produced by the shared preprocess."""
+
+    valid: jnp.ndarray  # [N] bool: survives culling
+    xy: jnp.ndarray  # [N, 2] pixel coords of the mean
+    depth: jnp.ndarray  # [N] view-space z
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray  # [N] screen radius in pixels
+    normal_view: jnp.ndarray  # [N, 3] view-space normal (zeros if not surface)
+    jinv: jnp.ndarray  # [N, 10] local homography (zeros if not perpix_depth)
+    colors: jnp.ndarray  # [N, C]
+    opacities: jnp.ndarray  # [N]
+
+
+class RenderOutputs(NamedTuple):
+    color: jnp.ndarray  # [H, W, C]  (C + T * bg)
+    normal: jnp.ndarray  # [H, W, 3] view-space accumulated normal
+    depth: jnp.ndarray  # [H, W]
+    opac: jnp.ndarray  # [H, W] alpha = 1 - T
+    transmittance: jnp.ndarray  # [H, W] final T (clamped)

@@ -1,0 +1,272 @@
+"""Golden tests for the surfel rasterizer.
+
+Strategy (SURVEY.md §4): a literal sequential numpy re-implementation of the
+reference kernel semantics (projection -> EWA -> depth sort -> front-to-back
+blend with skip/early-stop rules) is the golden model; the vectorized oracle
+must match it exactly, and the production tiled renderer must match the
+oracle whenever its static capacities are large enough.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soar_tpu.core.camera import camera_from_c2w, look_at_c2w
+from soar_tpu.core.transforms import quat_normalize, quat_to_rotmat
+from soar_tpu.render import (
+    GaussianInputs,
+    RasterConfig,
+    rasterize,
+    rasterize_oracle,
+)
+
+
+def make_scene(n=60, seed=0, spread=0.4):
+    rng = np.random.RandomState(seed)
+    means = rng.randn(n, 3).astype(np.float32) * spread
+    quats = quat_normalize(jnp.asarray(rng.randn(n, 4).astype(np.float32)))
+    scales = np.abs(rng.randn(n, 3)).astype(np.float32) * 0.05 + 0.02
+    opac = rng.uniform(0.3, 1.0, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g = GaussianInputs(
+        means3d=jnp.asarray(means),
+        quats=quats,
+        scales=jnp.asarray(scales),
+        opacities=jnp.asarray(opac),
+        colors=jnp.asarray(colors),
+    )
+    return g
+
+
+def make_camera(dist=3.0, fov_deg=40.0, azim=0.3, elev=0.2):
+    pos = np.array(
+        [
+            dist * np.cos(elev) * np.sin(azim),
+            dist * np.sin(elev),
+            dist * np.cos(elev) * np.cos(azim),
+        ],
+        np.float32,
+    )
+    c2w = look_at_c2w(
+        jnp.asarray(pos), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    fov = jnp.asarray(np.deg2rad(fov_deg))
+    return camera_from_c2w(c2w, fov, fov)
+
+
+def numpy_reference_render(g, cam, H, W, bg, cfg: RasterConfig):
+    """Sequential per-pixel blend with the reference's exact rules
+    (``forward.cu:497-633``), written independently in numpy."""
+    n = np.asarray(g.means3d).shape[0]
+    w2c = np.asarray(cam.w2c)
+    full_proj = np.asarray(cam.full_proj)
+    fx = W / (2 * np.tan(float(cam.fovx) / 2))
+    fy = H / (2 * np.tan(float(cam.fovy) / 2))
+
+    means = np.asarray(g.means3d)
+    R = np.asarray(quat_to_rotmat(g.quats))
+    scales = np.asarray(g.scales).copy()
+    if cfg.surface:
+        scales[:, 2] = 0.0
+    opac = np.asarray(g.opacities)
+    colors = np.asarray(g.colors)
+
+    data = []
+    for i in range(n):
+        ph = full_proj @ np.append(means[i], 1.0)
+        pw = 1.0 / (ph[3] + 1e-7)
+        ndc = ph[:3] * pw
+        pv = (w2c @ np.append(means[i], 1.0))[:3]
+        x = ((ndc[0] + 1) * W - 1) * 0.5
+        y = ((ndc[1] + 1) * H - 1) * 0.5
+        if pv[2] < 0 or x < -0.2 * W or x >= 1.2 * W or y < -0.2 * H or y >= 1.2 * H:
+            continue
+        n_view = w2c[:3, :3] @ R[i][:, 2]
+        ax0 = w2c[:3, :3] @ R[i][:, 0]
+        ax1 = w2c[:3, :3] @ R[i][:, 1]
+        vdot = pv @ n_view
+        if cfg.render_front and vdot > -0.01:
+            continue
+        # local homography
+        jinv = np.zeros(10)
+        if cfg.surface and cfg.perpix_depth:
+            s_fix, svp = 1000.0, (fx + fy) / 2
+            pp = np.array([pv[0] / pv[2], pv[1] / pv[2]])
+            d0 = np.array([pp[0] + 1 / s_fix, pp[1], 1.0])
+            d1 = np.array([pp[0], pp[1] + 1 / s_fix, 1.0])
+            m0, m1 = np.linalg.norm(d0), np.linalg.norm(d1)
+            d0, d1 = d0 / m0, d1 / m1
+            pr0, pr1 = d0 @ n_view, d1 @ n_view
+            if abs(pr0 / m0) < 0.01 or abs(pr1 / m1) < 0.01:
+                continue
+            tt = pv @ n_view
+            xu0 = d0 * (tt / pr0) - pv
+            xu1 = d1 * (tt / pr1) - pv
+            sc = svp / s_fix
+            jinv[:4] = [xu0 @ ax0 / sc, xu1 @ ax0 / sc, xu0 @ ax1 / sc, xu1 @ ax1 / sc]
+            jinv[4:7] = ax0
+            jinv[7:10] = ax1
+        cov3d = R[i] @ np.diag(scales[i] ** 2) @ R[i].T
+        tz = pv[2]
+        lim = 1.3 * np.tan(float(cam.fovx) / 2)
+        tx = np.clip(pv[0] / tz, -lim, lim) * tz
+        limy = 1.3 * np.tan(float(cam.fovy) / 2)
+        ty = np.clip(pv[1] / tz, -limy, limy) * tz
+        J = np.array(
+            [[fx / tz, 0, -fx * tx / tz**2], [0, fy / tz, -fy * ty / tz**2]]
+        )
+        cov2 = J @ w2c[:3, :3] @ cov3d @ w2c[:3, :3].T @ J.T
+        a, b, c = cov2[0, 0] + cfg.low_pass, cov2[0, 1], cov2[1, 1] + cfg.low_pass
+        det = a * c - b * b
+        if det == 0:
+            continue
+        conic = np.array([c / det, -b / det, a / det])
+        mid = 0.5 * (a + c)
+        radius = np.ceil(3 * np.sqrt(mid + np.sqrt(max(0.1, mid * mid - det))))
+        tile = cfg.tile
+        ntx, nty = -(-W // tile), -(-H // tile)
+        rect = (
+            np.clip(np.floor((x - radius) / tile), 0, ntx),
+            np.clip(np.floor((y - radius) / tile), 0, nty),
+            np.clip(np.floor((x + radius + tile - 1) / tile), 0, ntx),
+            np.clip(np.floor((y + radius + tile - 1) / tile), 0, nty),
+        )
+        data.append((pv[2], x, y, conic, opac[i], colors[i], n_view, jinv, rect))
+
+    data.sort(key=lambda e: -e[0] if cfg.sort_descending else e[0])
+
+    img = np.zeros((H, W, 3))
+    nrm = np.zeros((H, W, 3))
+    dep = np.zeros((H, W))
+    opa = np.zeros((H, W))
+    for py in range(H):
+        for px in range(W):
+            T = 1.0
+            C = np.zeros(3)
+            Nv = np.zeros(3)
+            D = 0.0
+            for depth, x, y, conic, op, col, n_view, jinv, rect in data:
+                tpx, tpy = px // cfg.tile, py // cfg.tile
+                if not (rect[0] <= tpx < rect[2] and rect[1] <= tpy < rect[3]):
+                    continue
+                dx, dy = x - px, y - py
+                power = -0.5 * (conic[0] * dx * dx + conic[2] * dy * dy) - conic[1] * dx * dy
+                if power > 0:
+                    continue
+                alpha = min(0.99, op * np.exp(power))
+                if alpha < 1 / 255:
+                    continue
+                test_T = T * (1 - alpha)
+                if test_T < 1e-4:
+                    break
+                w = alpha * T
+                dtmp = depth
+                if cfg.surface and cfg.perpix_depth:
+                    du0 = dx * jinv[0] + dy * jinv[1]
+                    du1 = dx * jinv[2] + dy * jinv[3]
+                    dtmp = depth - (du0 * jinv[6] + du1 * jinv[9])
+                D += dtmp * w
+                C += col * w
+                if cfg.surface:
+                    Nv += n_view * w
+                T = test_T
+            T = min(1 - 1e-6, T)
+            img[py, px] = C + T * np.asarray(bg)
+            nrm[py, px] = Nv
+            dep[py, px] = D / (1 - T) if cfg.normalize_depth else D + T * 10
+            opa[py, px] = 1 - T
+    return img, nrm, dep, opa
+
+
+@pytest.mark.parametrize("sort_descending", [False, True])
+def test_oracle_matches_numpy_reference(sort_descending):
+    cfg = RasterConfig(sort_descending=sort_descending)
+    g = make_scene(n=40)
+    cam = make_camera()
+    H = W = 32
+    bg = jnp.array([0.2, 0.3, 0.4])
+    out = rasterize_oracle(g, cam, (H, W), bg, cfg, pixel_chunk=256)
+    img, nrm, dep, opa = numpy_reference_render(g, cam, H, W, bg, cfg)
+    np.testing.assert_allclose(out.color, img, atol=2e-4)
+    np.testing.assert_allclose(out.normal, nrm, atol=2e-4)
+    np.testing.assert_allclose(out.opac, opa, atol=2e-4)
+    np.testing.assert_allclose(out.depth, dep, atol=2e-3)
+
+
+def test_oracle_render_front_culls():
+    cfg = RasterConfig(render_front=True)
+    g = make_scene(n=40)
+    cam = make_camera()
+    out = rasterize_oracle(g, cam, (32, 32), jnp.zeros(3), cfg, pixel_chunk=256)
+    img, nrm, dep, opa = numpy_reference_render(g, cam, 32, 32, np.zeros(3), cfg)
+    np.testing.assert_allclose(out.color, img, atol=2e-4)
+    np.testing.assert_allclose(out.opac, opa, atol=2e-4)
+
+
+@pytest.mark.parametrize("sort_descending", [False, True])
+def test_tiled_matches_oracle(sort_descending):
+    cfg = RasterConfig(
+        sort_descending=sort_descending, max_per_tile=64, dup_side=4
+    )
+    g = make_scene(n=60)
+    cam = make_camera()
+    H = W = 64
+    bg = jnp.array([0.1, 0.1, 0.1])
+    a = rasterize_oracle(g, cam, (H, W), bg, cfg, pixel_chunk=512)
+    b = rasterize(g, cam, (H, W), bg, cfg)
+    np.testing.assert_allclose(b.color, a.color, atol=3e-4)
+    np.testing.assert_allclose(b.normal, a.normal, atol=3e-4)
+    np.testing.assert_allclose(b.opac, a.opac, atol=3e-4)
+    np.testing.assert_allclose(b.depth, a.depth, atol=3e-3)
+
+
+def test_tiled_gradients_match_oracle():
+    cfg = RasterConfig(max_per_tile=64, dup_side=4)
+    g = make_scene(n=30)
+    cam = make_camera()
+    H = W = 32
+    bg = jnp.zeros(3)
+    target = jnp.ones((H, W, 3)) * 0.5
+
+    def loss_tiled(means, colors):
+        gg = g._replace(means3d=means, colors=colors)
+        out = rasterize(gg, cam, (H, W), bg, cfg)
+        return jnp.mean((out.color - target) ** 2) + jnp.mean(out.normal**2)
+
+    def loss_oracle(means, colors):
+        gg = g._replace(means3d=means, colors=colors)
+        out = rasterize_oracle(gg, cam, (H, W), bg, cfg, pixel_chunk=256)
+        return jnp.mean((out.color - target) ** 2) + jnp.mean(out.normal**2)
+
+    gm_t, gc_t = jax.grad(loss_tiled, argnums=(0, 1))(g.means3d, g.colors)
+    gm_o, gc_o = jax.grad(loss_oracle, argnums=(0, 1))(g.means3d, g.colors)
+    assert np.isfinite(np.asarray(gm_t)).all()
+    assert float(jnp.abs(gc_t).max()) > 0  # gradient actually flows
+    np.testing.assert_allclose(gc_t, gc_o, atol=1e-5)
+    np.testing.assert_allclose(gm_t, gm_o, atol=1e-4)
+
+
+def test_gradients_finite_difference():
+    """Color gradients against central finite differences (the analogue of
+    finite-difference-checking the hand-written CUDA backward)."""
+    cfg = RasterConfig(max_per_tile=64, dup_side=4)
+    g = make_scene(n=10)
+    cam = make_camera()
+    bg = jnp.zeros(3)
+
+    def loss(colors):
+        out = rasterize(g._replace(colors=colors), cam, (24, 24), bg, cfg)
+        return jnp.sum(out.color**2)
+
+    grad = jax.grad(loss)(g.colors)
+    eps = 1e-3
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        i, j = rng.randint(0, 10), rng.randint(0, 3)
+        e = np.zeros_like(np.asarray(g.colors))
+        e[i, j] = eps
+        lp = float(loss(g.colors + e))
+        lm = float(loss(g.colors - e))
+        fd = (lp - lm) / (2 * eps)
+        np.testing.assert_allclose(float(grad[i, j]), fd, rtol=2e-2, atol=1e-4)
