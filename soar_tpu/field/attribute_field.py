@@ -1,0 +1,169 @@
+"""Canonical-space neural attribute field.
+
+Pure-pytree re-implementation of ``HashMLPSDFField``
+(``geometry/sdf_fields.py:41-250``): two hash encodings (one shared by the
+shs/scales/offsets/opacities heads, one for quats) feeding five 2-layer MLP
+heads with the reference's exact output activations:
+
+- shs:        sigmoid, 3 channels
+- scales:     sigmoid(x) * 2e-2, 1 channel        (``sdf_fields.py:182``)
+- quats:      L2-normalized, 4 channels
+- offsets:    linear, zero-init last layer, takes a 2-dim latent ``z``
+              (``sdf_fields.py:123-134``)
+- opacities:  sigmoid, 1 channel
+
+plus ``reset_field`` — the 1000-step Adam distillation of explicit surfel
+attributes into the field (``sdf_fields.py:221-250``) — as one jitted
+``lax.scan`` optimization loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .hashgrid import HashGridConfig, hash_encode, init_hash_grid, normalize_positions
+
+
+@dataclasses.dataclass(frozen=True)
+class AttributeFieldConfig:
+    grid: HashGridConfig = HashGridConfig()
+    hidden_dim: int = 64
+    num_layers: int = 2
+
+
+def _init_mlp(key, in_dim, hidden, out_dim, num_layers, zero_last=False):
+    """Torch-style (Kaiming-uniform) init to mirror nerfstudio MLP defaults."""
+    dims = [in_dim] + [hidden] * (num_layers - 1) + [out_dim]
+    params = []
+    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+        key, k1, k2 = jax.random.split(key, 3)
+        bound = 1.0 / jnp.sqrt(a)
+        W = jax.random.uniform(k1, (a, b), minval=-bound, maxval=bound)
+        bvec = jax.random.uniform(k2, (b,), minval=-bound, maxval=bound)
+        if zero_last and i == len(dims) - 2:
+            W = jnp.zeros_like(W)
+            bvec = jnp.zeros_like(bvec)
+        params.append({"w": W, "b": bvec})
+    return params
+
+
+def _apply_mlp(params, x):
+    for i, layer in enumerate(params):
+        x = x @ layer["w"] + layer["b"]
+        if i < len(params) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def init_attribute_field(
+    key: jax.Array, aabb: jnp.ndarray, cfg: AttributeFieldConfig = AttributeFieldConfig()
+) -> Dict:
+    keys = jax.random.split(key, 8)
+    enc_dim = cfg.grid.out_dim
+    h, L = cfg.hidden_dim, cfg.num_layers
+    return {
+        "aabb": aabb,
+        "encoding": init_hash_grid(keys[0], cfg.grid),
+        "quat_encoding": init_hash_grid(keys[1], cfg.grid),
+        "mlp_shs": _init_mlp(keys[2], enc_dim, h, 3, L),
+        "mlp_scales": _init_mlp(keys[3], enc_dim, h, 1, L),
+        "mlp_quats": _init_mlp(keys[4], enc_dim, h, 4, L),
+        "mlp_offsets": _init_mlp(keys[5], enc_dim + 2, h, 3, L, zero_last=True),
+        "mlp_opacities": _init_mlp(keys[6], enc_dim, h, 1, L),
+    }
+
+
+def attribute_field_apply(
+    params: Dict,
+    xyz: jnp.ndarray,  # [N, 3] canonical-space positions
+    z: Optional[jnp.ndarray] = None,  # [2] per-frame latent for offsets
+    cfg: AttributeFieldConfig = AttributeFieldConfig(),
+    is_normalized: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    if is_normalized:
+        pos = xyz
+    else:
+        pos, _ = normalize_positions(xyz, params["aabb"])
+
+    x = hash_encode(params["encoding"], pos, cfg.grid)
+    shs = jax.nn.sigmoid(_apply_mlp(params["mlp_shs"], x))
+    scales = jax.nn.sigmoid(_apply_mlp(params["mlp_scales"], x)) * 2e-2
+
+    xq = hash_encode(params["quat_encoding"], pos, cfg.grid)
+    quats = _apply_mlp(params["mlp_quats"], xq)
+    quats = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+    )
+
+    if z is None:
+        zfeat = jnp.zeros(x.shape[:-1] + (2,), x.dtype)
+    else:
+        zfeat = jnp.broadcast_to(z, x.shape[:-1] + (2,))
+    offsets = _apply_mlp(params["mlp_offsets"], jnp.concatenate([x, zfeat], -1))
+    opacities = jax.nn.sigmoid(_apply_mlp(params["mlp_opacities"], x))
+
+    return {
+        "shs": shs,
+        "scales": scales,
+        "quats": quats,
+        "offsets": offsets,
+        "opacities": opacities,
+    }
+
+
+def reset_field(
+    params: Dict,
+    xyz: jnp.ndarray,
+    gt_shs: jnp.ndarray,
+    gt_scales: jnp.ndarray,
+    gt_quats: jnp.ndarray,
+    cfg: AttributeFieldConfig = AttributeFieldConfig(),
+    steps: int = 1000,
+    lr: float = 1e-3,
+) -> Dict:
+    """Distill explicit attributes into the field: 1000 Adam steps on
+    mse(shs) + 1000*mse(scales) + mse(quats) (``sdf_fields.py:221-250``),
+    run as one jitted scan (vs. a Python loop of 1000 separate CUDA launches
+    in the reference)."""
+    xyz = jax.lax.stop_gradient(xyz)
+    gt_shs = jax.lax.stop_gradient(gt_shs)
+    gt_scales = jax.lax.stop_gradient(gt_scales)
+    gt_quats = jax.lax.stop_gradient(gt_quats)
+
+    trainable = {k: v for k, v in params.items() if k != "aabb"}
+    aabb = params["aabb"]
+    pos, _ = normalize_positions(xyz, aabb)
+
+    def loss_fn(p):
+        out = attribute_field_apply(
+            dict(p, aabb=aabb), pos, cfg=cfg, is_normalized=True
+        )
+        return (
+            jnp.mean((out["shs"] - gt_shs) ** 2)
+            + 1000.0 * jnp.mean((out["scales"] - gt_scales) ** 2)
+            + jnp.mean((out["quats"] - gt_quats) ** 2)
+        )
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(p):
+        state = opt.init(p)
+
+        def step(carry, _):
+            p, state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, state = opt.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+            return (p, state), loss
+
+        (p, _), losses = jax.lax.scan(step, (p, state), None, length=steps)
+        return p, losses
+
+    trained, losses = run(trainable)
+    return dict(trained, aabb=aabb), losses
