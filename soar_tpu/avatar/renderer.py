@@ -1,0 +1,154 @@
+"""Posed-avatar view rendering: LBS skinning -> field query -> rasterize.
+
+The functional equivalent of ``DiffGaussian.forward``
+(``renderer/diff_gaussian_rasterizer.py:52-318``): pose canonical surfels and
+their frames via kNN-blended skinning mats, query the attribute field for
+colors/scales/offsets, rasterize a main pass plus a stop-gradient occlusion
+pass (front-face-culled), and post-process normals/curvature.
+
+Where the reference launches 14 CUDA rasterizations per step from a Python
+loop, here each view render is a single jitted function; batching across
+views happens one level up (``soar_tpu.train``) via vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..core.transforms import quat_normalize, quat_to_rotmat, rotmat_to_quat
+from ..field.attribute_field import attribute_field_apply
+from ..render import GaussianInputs, RasterConfig, rasterize
+from ..render.postprocess import depth2normal, normal2curv
+from ..body.skinning import apply_point_mats, point_skinning_mats
+from . import state as S
+from .state import AvatarModel, AvatarParams
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static per-call switches (mirrors the renderer Config plus the
+    forward() kwargs of the reference)."""
+
+    use_explicit: bool = False  # explicit colors/scales vs attribute field
+    offset: bool = False  # apply field offsets to points
+    gen_view: bool = False  # random novel view: zero root + axis permute
+    render_front: bool = True  # False => back-surface pass (sort descending)
+    raster: RasterConfig = RasterConfig()
+
+
+# Axis permutation "+z,+x,+y" applied to gen-view points
+# (``renderer/diff_gaussian_rasterizer.py:109, 321-352``): column i of T is
+# the unit vector named by the i-th direction; points transform as x @ T and
+# frames as T^T @ R.
+_PERMUTE_T = jnp.array(
+    [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
+)
+
+
+def render_view(
+    params: AvatarParams,
+    model: AvatarModel,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    settings: RenderSettings = RenderSettings(),
+) -> Dict[str, jnp.ndarray]:
+    points = params.xyz
+    rot = S.get_rotation(params)
+
+    # LBS: per-point rigid mats from the frame's pose; gen views zero the
+    # root orientation/translation (``utils/smpl.py:597-599``).
+    live_A = S.live_affines(model, frame_idx, zero_root=settings.gen_view)
+    pt_mats = point_skinning_mats(model.skin, live_A)
+
+    attrs = attribute_field_apply(
+        params.field, jax.lax.stop_gradient(points), cfg=model.field_cfg
+    )
+
+    posed = apply_point_mats(pt_mats, points)
+    if settings.offset:
+        posed = posed + attrs["offsets"]
+
+    # Rotate surfel frames by the (blended, only approximately rigid)
+    # skinning rotation exactly as the reference does — multiply matrices
+    # first, then convert the product back to a normalized quaternion
+    # (``renderer/diff_gaussian_rasterizer.py:110-114``).
+    R_surf = quat_to_rotmat(rot)
+    R_out = pt_mats[..., :3, :3] @ R_surf
+    if settings.gen_view:
+        posed = posed @ _PERMUTE_T
+        R_out = _PERMUTE_T.T @ R_out
+    rot_out = quat_normalize(rotmat_to_quat(R_out))
+
+    if settings.use_explicit:
+        scale1 = S.get_scaling(params)  # [N, 1]
+        colors = S.get_colors(params)
+    else:
+        scale1 = attrs["scales"]
+        colors = attrs["shs"]
+    scales = jnp.concatenate([scale1, scale1, jnp.zeros_like(scale1)], axis=-1)
+
+    # Opacities forced to 1 (``renderer/diff_gaussian_rasterizer.py:259``).
+    ones = jnp.ones_like(params.opacity[:, 0])
+
+    main_cfg = dataclasses.replace(
+        settings.raster,
+        render_front=False,
+        sort_descending=not settings.render_front,
+    )
+    occ_cfg = dataclasses.replace(
+        settings.raster, render_front=True, sort_descending=False
+    )
+
+    g_main = GaussianInputs(
+        means3d=posed,
+        quats=rot_out,
+        scales=scales,
+        opacities=ones,
+        colors=colors,
+    )
+    out = rasterize(g_main, camera, image_size, bg_color, main_cfg)
+
+    # Occlusion pass on detached geometry (``:281-291``).
+    occ_colors = jnp.broadcast_to(S.get_occ(params), (points.shape[0], 3))
+    g_occ = GaussianInputs(
+        means3d=jax.lax.stop_gradient(posed),
+        quats=jax.lax.stop_gradient(rot_out),
+        scales=jax.lax.stop_gradient(scales),
+        opacities=ones,
+        colors=occ_colors,
+    )
+    occ_out = rasterize(g_occ, camera, image_size, bg_color, occ_cfg)
+
+    mask = out.opac > 1e-5
+    # Outside the mask, keep values but stop gradients
+    # (``rendered_normal[~normal_mask] = ...detach()``, ``:292-294``).
+    normal = jnp.where(
+        mask[..., None], out.normal, jax.lax.stop_gradient(out.normal)
+    )
+    # Flip y/z of the view-space normal (``:295-296``).
+    normal = normal * jnp.array([1.0, -1.0, -1.0])
+    curv = normal2curv(normal, jax.lax.stop_gradient(out.opac) > 1e-5)
+    normal01 = (normal + 1.0) / 2.0
+
+    dn = depth2normal(
+        out.depth, jax.lax.stop_gradient(out.opac) > 1e-5, camera, image_size
+    )
+    dn = dn * jnp.array([1.0, -1.0, -1.0])
+    dn01 = (dn + 1.0) / 2.0
+
+    return {
+        "render": out.color,
+        "normal": normal01,
+        "depth": out.depth,
+        "pred_normal": dn01,
+        "mask": out.opac,
+        "occ": occ_out.color,
+        "curv": curv,
+    }
