@@ -12,7 +12,18 @@ reference).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize with a gradient that is finite at x == 0.
+
+    ``x / max(||x||, eps)`` has a NaN gradient at zero (d||x||/dx is 0/0);
+    adding eps² under the sqrt keeps both value and gradient well-defined,
+    which matters for masked-out pixels in image-space ops.
+    """
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
 
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

@@ -12,6 +12,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..core.camera import Camera, focal_from_fov
+from ..core.transforms import safe_normalize
 
 
 def _pad_edge(x: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +63,7 @@ def depth2normal(
         + jnp.cross(down, right)
         + jnp.cross(left, down)
     )
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    n = safe_normalize(n)
     return n * mask[..., None]
 
 

@@ -1,0 +1,359 @@
+"""Two-stage training: pure-functional jitted step.
+
+Functional rebuild of ``SurfelMVDreamSystem.training_step``
+(``system/gaussian_surfel_mvdream.py:87-474``).  One jitted function renders
+the 4 novel ("gen") SDS views plus the three GT passes (RGB / front-normal /
+back-normal), evaluates every explicit loss, and applies one Adam update —
+where the reference drives 14 separate CUDA rasterizations, two backward
+passes and a Python optimizer loop per step.
+
+SDS guidance plugs in through ``guidance_fn`` (None disables it, matching
+BASELINE configs that train without SDS); its gradient is modulated by
+exp(-3*occ) via :func:`scale_gradient` instead of a torch backward hook
+(``gaussian_surfel_mvdream.py:26-30, 212-254``).
+
+Multi-chip: the gen-view axis is vmapped and can be sharded over a
+``jax.sharding.Mesh`` axis; surfel state replicates and XLA inserts the
+gradient all-reduce (see ``soar_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..avatar import RenderSettings, render_view
+from ..avatar import state as S
+from ..avatar.optim import make_optimizer
+from ..avatar.state import AvatarModel, AvatarParams
+from ..core.camera import Camera, camera_from_c2w, get_ray_directions, get_rays
+from ..data.cameras import CameraSampleConfig, sample_multiview_cameras
+from ..render.types import RasterConfig
+from . import losses as L
+from .background import apply_random_aug, background_color, init_background
+from .config import StageConfig, TrainConfig, scheduled
+
+
+class TrainState(NamedTuple):
+    params: AvatarParams
+    bg_params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def scale_gradient(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Value-preserving gradient scaling: forward x, backward dL/dx * w —
+    the functional form of the reference's ``register_hook`` occ modulation
+    (``gaussian_surfel_mvdream.py:26-30, 213-218``)."""
+    w = jax.lax.stop_gradient(w)
+    return x * w + jax.lax.stop_gradient(x * (1.0 - w))
+
+
+def init_train_state(
+    params: AvatarParams,
+    model: AvatarModel,
+    cfg: TrainConfig,
+    seed: int = 0,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    opt = make_optimizer(params, cfg.optim)
+    bg = init_background(jax.random.PRNGKey(seed + 7))
+    return (
+        TrainState(
+            params=params,
+            bg_params=bg,
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+        ),
+        opt,
+    )
+
+
+def make_train_step(
+    model: AvatarModel,
+    cfg: TrainConfig,
+    stage: StageConfig,
+    opt: optax.GradientTransformation,
+    gen_size: Tuple[int, int],
+    gt_size: Tuple[int, int],
+    normal_size: Tuple[int, int],
+    raster: RasterConfig = RasterConfig(),
+    guidance_fn: Optional[Callable] = None,
+    use_explicit: bool = False,
+    n_views: Optional[int] = None,
+    has_normals: bool = True,
+):
+    """Build the jitted training step for one stage.
+
+    The returned function:  (state, batch, key) -> (state, metrics)
+    where batch holds per-frame GT arrays + Camera pytrees (see
+    ``soar_tpu.train.batches``).
+    """
+    nv = n_views or cfg.n_views
+    gen_settings = RenderSettings(
+        use_explicit=use_explicit, gen_view=True, raster=raster
+    )
+    gt_settings = RenderSettings(
+        use_explicit=use_explicit, gen_view=False, raster=raster
+    )
+    gt_back_settings = dataclasses.replace(gt_settings, render_front=False)
+    cam_cfg = CameraSampleConfig(
+        n_view=nv,
+        elevation_range=cfg.elevation_range,
+        azimuth_range=cfg.azimuth_range,
+        fovy_range=cfg.fovy_range,
+        camera_distance_range=cfg.camera_distance_range,
+        zoom_range=cfg.zoom_range,
+    )
+    w = stage.loss
+
+    def loss_fn(params, bg_params, batch, key, step):
+        k_cam, k_bg, k_bgaug, k_rand = jax.random.split(key, 4)
+        frame_idx = batch["frame_idx"]
+
+        # ---- gen views (vmapped over the view axis; shardable) ----
+        c2w, fovy = sample_multiview_cameras(k_cam, cam_cfg)
+        gen_cams = jax.vmap(
+            lambda c, f: camera_from_c2w(c, f, f, znear=0.1, zfar=100.0)
+        )(c2w, fovy)
+
+        def render_gen(cam):
+            return render_view(
+                params,
+                model,
+                cam,
+                gen_size,
+                jnp.zeros(3),
+                frame_idx,
+                gen_settings,
+            )
+
+        gen = jax.vmap(render_gen)(gen_cams)
+
+        # Neural-bg composite over the gen renders
+        # (``renderer/gaussian_batch_renderer.py:262, 330-332``).
+        Hg, Wg = gen_size
+        focal = 0.5 * Hg / jnp.tan(0.5 * fovy)
+
+        def rays_for(c, f):
+            dirs = get_ray_directions(Hg, Wg, (f, f))
+            _, rays_d = get_rays(dirs, c, normalize=True)
+            return rays_d
+
+        rays_d = jax.vmap(rays_for)(c2w, focal)
+        bg_rgb = background_color(bg_params, rays_d)
+        bg_rgb = apply_random_aug(bg_rgb, k_bgaug, cfg.invert_bg_prob)
+        comp_rgb = gen["render"] + (1.0 - gen["mask"][..., None]) * bg_rgb
+
+        # ---- GT passes ----
+        rand_bg = jax.random.uniform(k_rand, (3,))
+        gt = render_view(
+            params,
+            model,
+            batch["gt_cam"],
+            gt_size,
+            rand_bg,
+            frame_idx,
+            gt_settings,
+        )
+        if has_normals:
+            gt_nF = render_view(
+                params,
+                model,
+                batch["normal_cam"],
+                normal_size,
+                jnp.ones(3),
+                frame_idx,
+                gt_settings,
+            )
+            gt_nB = render_view(
+                params,
+                model,
+                batch["normal_cam"],
+                normal_size,
+                jnp.ones(3),
+                frame_idx,
+                gt_back_settings,
+            )
+
+        metrics = {}
+        loss = jnp.zeros(())
+
+        def C(v):
+            return scheduled(v, step)
+
+        # --- explicit losses (``gaussian_surfel_mvdream.py:259-460``) ---
+        mask = batch["gt_mask"] > 1e-5
+        gt_rgb_blended = batch["gt_rgb"] * batch["gt_mask"][..., None] + rand_bg * (
+            1.0 - batch["gt_mask"][..., None]
+        )
+
+        loss_recon = 0.8 * L.masked_l1(
+            gt["render"], batch["gt_rgb"], mask
+        ) + 0.2 * (1.0 - L.ssim(gt["render"], gt_rgb_blended))
+        loss = loss + C(w.recon) * loss_recon
+        metrics["loss_recon"] = loss_recon
+
+        loss_mask = jnp.mean(jnp.abs(gt["mask"] - batch["gt_mask"]))
+        loss = loss + C(w.mask) * loss_mask
+        metrics["loss_mask"] = loss_mask
+
+        if has_normals:
+            nmask = batch["gt_normal_mask"] > 1e-5
+            loss_nF = 0.2 * L.cos_loss(
+                gt_nF["normal"], batch["gt_normal_F"], nmask, thrsh=0.0
+            )
+            # TODO(guidance round): + LPIPS(normal) term once VGG weights are
+            # converted (``gaussian_surfel_mvdream.py:342-358``).
+            loss = loss + C(w.normal_F) * loss_nF
+            metrics["loss_normal_F"] = loss_nF
+
+            loss_nB = 0.2 * L.cos_loss(
+                gt_nB["normal"], batch["gt_normal_B"], nmask, thrsh=0.0
+            )
+            loss = loss + C(w.normal_B) * loss_nB
+            metrics["loss_normal_B"] = loss_nB
+
+            loss_nmask = jnp.mean(
+                jnp.abs(gt_nF["mask"] - batch["gt_normal_mask"])
+            )
+            loss = loss + C(w.normal_mask) * loss_nmask
+            metrics["loss_normal_mask"] = loss_nmask
+
+        # occ supervision: visible (masked) pixels should predict occ -> 1
+        # (``gaussian_surfel_mvdream.py:412-417``).
+        occ_gt = gt["occ"][..., 0]
+        m = mask.astype(occ_gt.dtype)
+        loss_occ = jnp.sum((1.0 - occ_gt) * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss = loss + C(w.occ) * loss_occ
+        metrics["loss_occ"] = loss_occ
+
+        # normal consistency: rendered vs depth-derived normals
+        # (``gaussian_surfel_mvdream.py:429-453``).
+        loss_nc = L.cos_loss(
+            gt["pred_normal"], gt["normal"], thrsh=np.pi / 10000.0
+        )
+        gen_nc = L.cos_loss(
+            gen["pred_normal"], gen["normal"], thrsh=np.pi / 10000.0
+        )
+        after_sds = (step > stage.sds_start).astype(loss_nc.dtype)
+        loss_nc = (loss_nc + after_sds * gen_nc) / (1.0 + after_sds)
+        nc_w = C(w.normal_consistency) + 0.1 * jnp.minimum(
+            2.0 * step / 2000.0, 1.0
+        )
+        loss = loss + nc_w * loss_nc
+        metrics["loss_normal_consistency"] = loss_nc
+
+        loss_curv = jnp.mean(jnp.abs(gen["curv"]))
+        loss = loss + C(w.curv) * loss_curv
+        metrics["loss_curv"] = loss_curv
+
+        if use_explicit:
+            scales_mean = jnp.mean(S.get_scaling(params))
+        else:
+            from ..field.attribute_field import attribute_field_apply
+
+            attrs = attribute_field_apply(
+                params.field, params.xyz, cfg=model.field_cfg
+            )
+            scales_mean = jnp.mean(attrs["scales"])
+        loss = loss + C(w.scales) * scales_mean
+        metrics["loss_scales"] = scales_mean
+
+        # eps-safe norm: at init xyz == original_pos and the exact L2 norm has
+        # a NaN gradient at 0 (torch's norm subgradient there is 0).
+        dvec = params.xyz - model.original_pos
+        loss_delta = jnp.mean(jnp.sqrt(jnp.sum(dvec * dvec, -1) + 1e-12))
+        loss = loss + C(w.delta) * loss_delta
+        metrics["loss_delta"] = loss_delta
+
+        # ---- SDS guidance (optional) ----
+        if guidance_fn is not None:
+            occ_w = jnp.exp(-3.0 * jax.lax.stop_gradient(gen["occ"]))
+            if stage.training_stage == 1:
+                guidance_inp = scale_gradient(comp_rgb, occ_w)
+            else:
+                guidance_inp = scale_gradient(gen["normal"], occ_w)
+            sds = guidance_fn(
+                guidance_inp,
+                step=step,
+                key=k_bg,
+                batch=batch,
+                comp_bg=bg_rgb,
+            )
+            sds_on = (step > stage.sds_start).astype(loss.dtype)
+            loss = loss + sds_on * C(w.sds) * sds
+            metrics["loss_sds"] = sds
+
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=0, has_aux=True
+        )(state.params, state.bg_params, batch, key, state.step)
+        # NOTE: the background MLP is intentionally NOT optimized — the
+        # reference builds a bg optimizer but never returns it
+        # (``gaussian_surfel_mvdream.py:59-66``), so bg stays at init.
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params,
+                bg_params=state.bg_params,
+                opt_state=opt_state,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_gt_batch(ds, model: AvatarModel, frame_idx: int) -> Dict:
+    """Host-side assembly of the per-frame GT batch (device arrays +
+    Camera pytrees), mirroring the ~35-key batch dict of the dataset
+    (``uncond_multiview.py:635-681``) reduced to what the step consumes."""
+    H, W = ds.image_size
+    fov = ds.frame_fovs(frame_idx)
+    c2w = jnp.asarray(ds.gt_c2w())
+
+    # GT RGB camera: principal point enters via prcppoint (projection built
+    # without cxcy), matching ``gaussian_batch_renderer.py:29-37, 59-83``.
+    gt_cam = camera_from_c2w(
+        c2w,
+        jnp.asarray(fov["fovx"]),
+        jnp.asarray(fov["fovy"]),
+        znear=0.1,
+        zfar=100.0,
+        prcppoint=jnp.asarray([fov["cx"] / W, fov["cy"] / H], dtype=jnp.float32),
+    )
+    # Normal cameras: principal point inside the projection, prcp=(.5,.5)
+    # (``gaussian_batch_renderer.py:40-58, 84-103``).
+    nres = 512 if ds.normal_F.size else ds.images_crop.shape[1]
+    normal_cam = camera_from_c2w(
+        c2w,
+        jnp.asarray(fov["normal_fovx"]),
+        jnp.asarray(fov["normal_fovy"]),
+        znear=0.1,
+        zfar=100.0,
+        cxcy=(jnp.asarray(fov["normal_cx"]), jnp.asarray(fov["normal_cy"])),
+        img_wh=(nres, nres),
+    )
+    batch = {
+        "frame_idx": jnp.asarray(frame_idx, jnp.int32),
+        "gt_rgb": jnp.asarray(ds.images[frame_idx]),
+        "gt_mask": jnp.asarray(ds.masks[frame_idx]),
+        "gt_cam": gt_cam,
+        "normal_cam": normal_cam,
+    }
+    if ds.normal_F.size:
+        batch["gt_normal_F"] = jnp.asarray(ds.normal_F[frame_idx])
+        batch["gt_normal_B"] = jnp.asarray(ds.normal_B[frame_idx])
+        batch["gt_normal_mask"] = jnp.asarray(ds.normal_mask[frame_idx])
+    return batch

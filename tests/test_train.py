@@ -1,0 +1,93 @@
+"""End-to-end training-step tests on the synthetic sequence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soar_tpu.avatar import init_avatar
+from soar_tpu.body import make_test_body
+from soar_tpu.data.dataset import make_synthetic_sequence, split_indices
+from soar_tpu.field.attribute_field import AttributeFieldConfig
+from soar_tpu.field.hashgrid import HashGridConfig
+from soar_tpu.render.types import RasterConfig
+from soar_tpu.train.config import StageConfig, LossWeights, TrainConfig, scheduled
+from soar_tpu.train.trainer import (
+    init_train_state,
+    make_gt_batch,
+    make_train_step,
+)
+
+TINY_FIELD = AttributeFieldConfig(
+    grid=HashGridConfig(num_levels=4, min_res=4, max_res=64, log2_hashmap_size=12),
+    hidden_dim=16,
+)
+
+
+def test_scheduled_values():
+    assert float(scheduled(0.5, 0)) == 0.5
+    v = (100, 1.0, 0.0, 200)
+    assert float(scheduled(v, 0)) == 1.0
+    assert float(scheduled(v, 150)) == pytest.approx(0.5)
+    assert float(scheduled(v, 1000)) == 0.0
+
+
+def test_split_indices_scheme():
+    train, val, test = split_indices(100)
+    assert len(train) + len(val) + len(test) == 100
+    held = sorted(val + test)
+    assert held == list(range(2, 100, 5))
+
+
+
+def test_train_step_decreases_recon():
+    ds, (gt_params, _) = make_synthetic_sequence(num_frames=4, image_size=(96, 96))
+
+    # Fresh avatar (same body/poses, re-initialized colors/scales).
+    body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+        num_subdiv=1,
+        field_cfg=TINY_FIELD,
+        distill_steps=0,
+    )
+
+    cfg = TrainConfig(n_views=2)
+    stage = StageConfig(
+        training_stage=0,
+        loss=LossWeights(
+            normal_F=0.0, normal_B=0.0, normal_mask=0.0, curv=0.05
+        ),
+    )
+    state, opt = init_train_state(params, model, cfg)
+    raster = RasterConfig(max_per_tile=64, dup_side=3)
+    step_fn = make_train_step(
+        model,
+        cfg,
+        stage,
+        opt,
+        gen_size=(64, 64),
+        gt_size=(96, 96),
+        normal_size=(64, 64),
+        raster=raster,
+        use_explicit=True,
+        has_normals=False,
+    )
+    step_fn = jax.jit(step_fn)
+
+    key = jax.random.PRNGKey(0)
+    first = None
+    metrics = None
+    for i in range(40):
+        key, k1 = jax.random.split(key)
+        frame = ds.train_idx[i % len(ds.train_idx)]
+        batch = make_gt_batch(ds, model, frame)
+        state, metrics = step_fn(state, batch, k1)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+
+    last = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(last["loss"])
+    assert last["loss_recon"] < first["loss_recon"] * 0.9, (first, last)
+    assert last["loss_mask"] < first["loss_mask"], (first, last)
