@@ -23,6 +23,7 @@ from ..core.camera import Camera
 from ..core.transforms import quat_normalize, quat_to_rotmat, rotmat_to_quat
 from ..field.attribute_field import attribute_field_apply
 from ..render import GaussianInputs, RasterConfig, rasterize
+from ..render.tiled import rasterize_with_occ
 from ..render.postprocess import depth2normal, normal2curv
 from ..body.skinning import apply_point_mats, point_skinning_mats
 from . import state as S
@@ -50,6 +51,15 @@ _PERMUTE_T = jnp.array(
 )
 
 
+def query_attributes(params: AvatarParams, model: AvatarModel):
+    """Query the canonical attribute field at the (stop-gradient) surfel
+    positions — camera-independent, so one query serves every view of a
+    training step (``renderer/diff_gaussian_rasterizer.py:88-102``)."""
+    return attribute_field_apply(
+        params.field, jax.lax.stop_gradient(params.xyz), cfg=model.field_cfg
+    )
+
+
 def render_view(
     params: AvatarParams,
     model: AvatarModel,
@@ -58,6 +68,7 @@ def render_view(
     bg_color: jnp.ndarray,
     frame_idx: jnp.ndarray,
     settings: RenderSettings = RenderSettings(),
+    attrs: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     points = params.xyz
     rot = S.get_rotation(params)
@@ -67,9 +78,11 @@ def render_view(
     live_A = S.live_affines(model, frame_idx, zero_root=settings.gen_view)
     pt_mats = point_skinning_mats(model.skin, live_A)
 
-    attrs = attribute_field_apply(
-        params.field, jax.lax.stop_gradient(points), cfg=model.field_cfg
-    )
+    if attrs is None:
+        # Camera-independent: callers rendering several views per step
+        # should compute this once via ``query_attributes`` and pass it in
+        # (the reference re-queries tcnn per view, 7x/step).
+        attrs = query_attributes(params, model)
 
     posed = apply_point_mats(pt_mats, points)
     if settings.offset:
@@ -113,18 +126,24 @@ def render_view(
         opacities=ones,
         colors=colors,
     )
-    out = rasterize(g_main, camera, image_size, bg_color, main_cfg)
-
-    # Occlusion pass on detached geometry (``:281-291``).
     occ_colors = jnp.broadcast_to(S.get_occ(params), (points.shape[0], 3))
-    g_occ = GaussianInputs(
-        means3d=jax.lax.stop_gradient(posed),
-        quats=jax.lax.stop_gradient(rot_out),
-        scales=jax.lax.stop_gradient(scales),
-        opacities=ones,
-        colors=occ_colors,
-    )
-    occ_out = rasterize(g_occ, camera, image_size, bg_color, occ_cfg)
+    if settings.render_front:
+        # Main + occlusion pass share preprocess/sort (both ascending).
+        out, occ_out = rasterize_with_occ(
+            g_main, occ_colors, camera, image_size, bg_color, main_cfg
+        )
+    else:
+        # Back-surface pass (descending sort): occ pass kept separate with
+        # its own ascending order, as in the reference.
+        out = rasterize(g_main, camera, image_size, bg_color, main_cfg)
+        g_occ = GaussianInputs(
+            means3d=jax.lax.stop_gradient(posed),
+            quats=jax.lax.stop_gradient(rot_out),
+            scales=jax.lax.stop_gradient(scales),
+            opacities=ones,
+            colors=occ_colors,
+        )
+        occ_out = rasterize(g_occ, camera, image_size, bg_color, occ_cfg)
 
     mask = out.opac > 1e-5
     # Outside the mask, keep values but stop gradients

@@ -14,12 +14,14 @@ reduction that XLA maps well, with no irregular data structures.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("k", "chunk"))
 def _chunked_topk_neg_dist2(
     points: jnp.ndarray, ref: jnp.ndarray, k: int, chunk: int = 4096
 ):

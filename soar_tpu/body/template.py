@@ -28,7 +28,12 @@ def subdivide(
         [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
     )
     edges_sorted = np.sort(edges, axis=1)
-    uniq, inverse = np.unique(edges_sorted, axis=0, return_inverse=True)
+    # Scalar edge keys (lo * V + hi): unique over int64 is ~100x faster than
+    # unique over 2-column rows.
+    V = len(verts)
+    keys = edges_sorted[:, 0] * V + edges_sorted[:, 1]
+    uniq_keys, inverse = np.unique(keys, return_inverse=True)
+    uniq = np.stack([uniq_keys // V, uniq_keys % V], axis=1)
     midpoints = verts[uniq].mean(axis=1)
     mid_idx = inverse.reshape(3, -1).T + len(verts)  # [F, 3]: m01, m12, m20
 
@@ -62,9 +67,11 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals (trimesh ``vertex_normals`` semantics)."""
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normals
+    V = len(verts)
     vn = np.zeros_like(verts)
-    for i in range(3):
-        np.add.at(vn, faces[:, i], fn)
+    idx = faces.reshape(-1)
+    for c in range(3):
+        vn[:, c] = np.bincount(idx, np.tile(fn[:, c], 3), minlength=V)
     norm = np.linalg.norm(vn, axis=-1, keepdims=True)
     return vn / np.maximum(norm, 1e-12)
 
@@ -74,9 +81,9 @@ def vertex_area_radius(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     (``utils/smpl.py:122-129``)."""
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     area = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1) / 2.0
-    vtx_area = np.zeros(len(verts))
-    for i in range(3):
-        np.add.at(vtx_area, faces[:, i], area / 3.0)
+    vtx_area = np.bincount(
+        faces.reshape(-1), np.tile(area / 3.0, 3), minlength=len(verts)
+    )
     return np.sqrt(vtx_area / np.pi)
 
 

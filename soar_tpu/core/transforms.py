@@ -74,8 +74,8 @@ def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     best = jnp.argmax(pivots, axis=-1)
-    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2)
-    q = q[..., 0, :]
+    onehot = jax.nn.one_hot(best, 4, dtype=cands.dtype)  # [..., 4]
+    q = jnp.einsum("...c,...cw->...w", onehot, cands)
     q = quat_normalize(q)
     # Canonicalize sign (w >= 0) so round-trips are stable.
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)

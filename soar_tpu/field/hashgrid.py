@@ -24,12 +24,34 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class HashGridConfig:
+    """Two storage modes:
+
+    - ``corner`` (reference semantics): every lattice corner is hashed
+      independently, 8 gathers per level per point — exactly tcnn/nerfstudio.
+    - ``cell`` (TPU-native default): the CELL is hashed once and one wide row
+      holds all 8 corner features.  TPU gather cost is per-ROW, not per-byte
+      (measured: [T,16]-row gathers are ~7x cheaper than 8x [T,2]), so this
+      cuts the encode's gather count 8x.  Corner features are no longer
+      shared between adjacent cells (C0 continuity at cell boundaries is
+      traded away) — benign for SOAR, whose field is queried at
+      stop-gradient, near-static canonical surfel positions
+      (``renderer/diff_gaussian_rasterizer.py:88``), with an MLP smoothing
+      on top.
+
+    Parameters are stored f32 (clean Adam updates) and CAST to ``dtype``
+    (default bf16 — tcnn itself stores fp16) right before the gather: TPU
+    bf16 gathers measure ~4x faster than f32, and the cast is a cheap
+    streaming op.  Lerp accumulates in f32.
+    """
+
     num_levels: int = 16
     min_res: int = 16
     max_res: int = 2048
     log2_hashmap_size: int = 18
     features_per_level: int = 2
     init_scale: float = 1e-4  # tcnn-style uniform init
+    mode: str = "cell"  # "cell" | "corner"
+    dtype: str = "bfloat16"
 
     @property
     def table_size(self) -> int:
@@ -38,6 +60,11 @@ class HashGridConfig:
     @property
     def out_dim(self) -> int:
         return self.num_levels * self.features_per_level
+
+    @property
+    def row_width(self) -> int:
+        mult = 8 if self.mode == "cell" else 1
+        return self.features_per_level * mult
 
     def resolutions(self) -> Tuple[int, ...]:
         if self.num_levels == 1:
@@ -53,10 +80,10 @@ class HashGridConfig:
 
 
 def init_hash_grid(key: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
-    """Table [num_levels, table_size, features_per_level], U(-s, s)."""
+    """Table [num_levels, table_size, row_width] float32, U(-s, s)."""
     return jax.random.uniform(
         key,
-        (cfg.num_levels, cfg.table_size, cfg.features_per_level),
+        (cfg.num_levels, cfg.table_size, cfg.row_width),
         minval=-cfg.init_scale,
         maxval=cfg.init_scale,
     )
@@ -74,36 +101,57 @@ def _hash3(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray, mask: int):
     return (h & jnp.uint32(mask)).astype(jnp.int32)
 
 
+_CORNERS = tuple((c & 1, (c >> 1) & 1, (c >> 2) & 1) for c in range(8))
+
+
 def hash_encode(
     table: jnp.ndarray, positions: jnp.ndarray, cfg: HashGridConfig
 ) -> jnp.ndarray:
-    """Encode positions in [0, 1]^3 -> [..., num_levels * features].
+    """Encode positions in [0, 1]^3 -> [N, num_levels * features] (float32).
 
-    Trilinear interpolation of the 8 hashed corner features at every level.
+    Trilinear interpolation of the 8 corner features at every level, as ONE
+    fused gather over all levels (and, in ``cell`` mode, over all corners).
     """
+    p = positions.reshape(-1, 3)
+    N = p.shape[0]
+    L = cfg.num_levels
+    F = cfg.features_per_level
     mask = cfg.table_size - 1
-    feats = []
-    p = positions
-    for lvl, res in enumerate(cfg.resolutions()):
-        scaled = p * res
-        base = jnp.floor(scaled)
-        w = scaled - base
-        base = base.astype(jnp.int32)
 
-        acc = 0.0
-        for corner in range(8):
-            cx, cy, cz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
-            idx = _hash3(
-                base[..., 0] + cx, base[..., 1] + cy, base[..., 2] + cz, mask
-            )
-            cw = (
-                (w[..., 0] if cx else 1.0 - w[..., 0])
-                * (w[..., 1] if cy else 1.0 - w[..., 1])
-                * (w[..., 2] if cz else 1.0 - w[..., 2])
-            )
-            acc = acc + table[lvl][idx] * cw[..., None]
-        feats.append(acc)
-    return jnp.concatenate(feats, axis=-1)
+    res = jnp.asarray(cfg.resolutions(), jnp.float32)  # [L]
+    scaled = p[:, None, :] * res[None, :, None]  # [N, L, 3]
+    base = jnp.floor(scaled)
+    w = (scaled - base).astype(jnp.float32)  # [N, L, 3]
+    base = base.astype(jnp.int32)
+
+    corners = jnp.asarray(_CORNERS, jnp.int32)  # [8, 3]
+    # Trilerp weights [N, L, 8].
+    cw = jnp.prod(
+        jnp.where(
+            corners[None, None, :, :] == 1, w[:, :, None, :], 1.0 - w[:, :, None, :]
+        ),
+        axis=-1,
+    )
+
+    level_off = (jnp.arange(L, dtype=jnp.int32) * cfg.table_size)[None, :]
+
+    gdtype = jnp.dtype(cfg.dtype)
+    if cfg.mode == "cell":
+        h = _hash3(base[..., 0], base[..., 1], base[..., 2], mask)  # [N, L]
+        flat_idx = (h + level_off).reshape(-1)
+        flat_table = table.reshape(L * cfg.table_size, cfg.row_width)
+        rows = jnp.take(flat_table.astype(gdtype), flat_idx, axis=0)
+        g = rows.reshape(N, L, 8, F).astype(jnp.float32)
+    else:
+        cidx = base[:, :, None, :] + corners[None, None, :, :]  # [N, L, 8, 3]
+        h = _hash3(cidx[..., 0], cidx[..., 1], cidx[..., 2], mask)  # [N, L, 8]
+        flat_idx = (h + level_off[:, :, None]).reshape(-1)
+        flat_table = table.reshape(L * cfg.table_size, F)
+        rows = jnp.take(flat_table.astype(gdtype), flat_idx, axis=0)
+        g = rows.reshape(N, L, 8, F).astype(jnp.float32)
+
+    out = jnp.sum(g * cw[..., None], axis=2)  # [N, L, F]
+    return out.reshape(positions.shape[:-1] + (L * F,))
 
 
 def normalize_positions(

@@ -178,6 +178,7 @@ def preprocess(
             jinv = jnp.zeros((g.means3d.shape[0], 10), g.means3d.dtype)
     else:
         n_view = jnp.zeros_like(g.means3d)
+        view_dot = jnp.full((g.means3d.shape[0],), -1.0, g.means3d.dtype)
         jinv = jnp.zeros((g.means3d.shape[0], 10), g.means3d.dtype)
 
     # 3D covariance Σ = R S² Rᵀ with z-scale zeroed for flat surfels
@@ -208,6 +209,7 @@ def preprocess(
         conic=conic,
         radius=radius,
         normal_view=n_view,
+        view_dot=view_dot,
         jinv=jinv,
         colors=g.colors,
         opacities=g.opacities,

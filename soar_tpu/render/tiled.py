@@ -115,6 +115,40 @@ def rasterize(
     cfg: RasterConfig = RasterConfig(),
 ) -> RenderOutputs:
     """Render one view.  Returns images shaped [H, W, ...]."""
+    return _rasterize_core(g, camera, image_size, bg_color, cfg, None)[0]
+
+
+@partial(jax.jit, static_argnames=("image_size", "cfg"))
+def rasterize_with_occ(
+    g: GaussianInputs,
+    occ_colors: jnp.ndarray,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    cfg: RasterConfig = RasterConfig(),
+) -> Tuple[RenderOutputs, RenderOutputs]:
+    """Main pass + front-face-culled occlusion pass sharing one preprocess /
+    binning / sort / gather.
+
+    The reference launches two complete CUDA rasterizations per view
+    (``renderer/diff_gaussian_rasterizer.py:247-291``); here the occ pass
+    reuses the sorted tile lists and only re-composites with (a) the occ
+    colors, (b) back-facing splats suppressed — the behavior of
+    ``render_front=True`` culling (``forward.cu:287-289``) applied at blend
+    time.  Geometry gradients are stopped exactly as the reference detaches
+    the occ-pass inputs.
+    """
+    return _rasterize_core(g, camera, image_size, bg_color, cfg, occ_colors)
+
+
+def _rasterize_core(
+    g: GaussianInputs,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    cfg: RasterConfig,
+    occ_colors,
+):
     H, W = image_size
     tile = cfg.tile
     K = cfg.max_per_tile
@@ -189,10 +223,40 @@ def rasterize(
         return img[:H, :W]
 
     C = colors.shape[-1]
-    return RenderOutputs(
+    main_out = RenderOutputs(
         color=untile(color, C),
         normal=untile(normal, 3),
         depth=untile(depth[..., None], 1)[..., 0],
         opac=untile(opac_out[..., None], 1)[..., 0],
         transmittance=untile(T[..., None], 1)[..., 0],
     )
+    if occ_colors is None:
+        return main_out, None
+
+    # ---- occlusion pass: re-composite with back-facing splats culled and
+    # geometry gradients stopped (``diff_gaussian_rasterizer.py:281-291``).
+    sg = jax.lax.stop_gradient
+    front = pre.view_dot[gidx] <= -0.01
+    alpha_b = splat_alpha(
+        sg(d),
+        sg(conic)[:, None],
+        opac[:, None],
+        (slot_valid & front)[:, None],
+        cfg.alpha_clamp,
+        cfg.alpha_min,
+    )
+    weights_b, t_final_b = composite_weights(alpha_b, cfg.transmittance_min)
+    occ_g = occ_colors[gidx]
+    Tb = jnp.minimum(1.0 - 1e-6, t_final_b)
+    color_b = (
+        jnp.einsum("npk,nkc->npc", weights_b, occ_g) + Tb[..., None] * bg
+    )
+    Cb = occ_colors.shape[-1]
+    occ_out = RenderOutputs(
+        color=untile(color_b, Cb),
+        normal=main_out.normal,
+        depth=main_out.depth,
+        opac=untile((1.0 - Tb)[..., None], 1)[..., 0],
+        transmittance=untile(Tb[..., None], 1)[..., 0],
+    )
+    return main_out, occ_out

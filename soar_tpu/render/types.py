@@ -62,6 +62,7 @@ class Preprocessed(NamedTuple):
     conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
     radius: jnp.ndarray  # [N] screen radius in pixels
     normal_view: jnp.ndarray  # [N, 3] view-space normal (zeros if not surface)
+    view_dot: jnp.ndarray  # [N] dot(p_view, n_view); front-facing iff <= -0.01
     jinv: jnp.ndarray  # [N, 10] local homography (zeros if not perpix_depth)
     colors: jnp.ndarray  # [N, C]
     opacities: jnp.ndarray  # [N]

@@ -87,6 +87,7 @@ def make_train_step(
     use_explicit: bool = False,
     n_views: Optional[int] = None,
     has_normals: bool = True,
+    shard_views: Optional[Callable] = None,
 ):
     """Build the jitted training step for one stage.
 
@@ -116,11 +117,21 @@ def make_train_step(
         k_cam, k_bg, k_bgaug, k_rand = jax.random.split(key, 4)
         frame_idx = batch["frame_idx"]
 
+        # One field query serves all 7 renders of this step (the reference
+        # re-runs tcnn per rasterization).
+        from ..avatar.renderer import query_attributes
+
+        attrs = None if use_explicit else query_attributes(params, model)
+
         # ---- gen views (vmapped over the view axis; shardable) ----
         c2w, fovy = sample_multiview_cameras(k_cam, cam_cfg)
         gen_cams = jax.vmap(
             lambda c, f: camera_from_c2w(c, f, f, znear=0.1, zfar=100.0)
         )(c2w, fovy)
+        if shard_views is not None:
+            # Constrain the view axis onto the device mesh; GSPMD shards the
+            # vmapped render and all-reduces the parameter gradients.
+            gen_cams = shard_views(gen_cams)
 
         def render_gen(cam):
             return render_view(
@@ -131,6 +142,7 @@ def make_train_step(
                 jnp.zeros(3),
                 frame_idx,
                 gen_settings,
+                attrs=attrs,
             )
 
         gen = jax.vmap(render_gen)(gen_cams)
@@ -160,6 +172,7 @@ def make_train_step(
             rand_bg,
             frame_idx,
             gt_settings,
+            attrs=attrs,
         )
         if has_normals:
             gt_nF = render_view(
@@ -170,6 +183,7 @@ def make_train_step(
                 jnp.ones(3),
                 frame_idx,
                 gt_settings,
+                attrs=attrs,
             )
             gt_nB = render_view(
                 params,
@@ -179,6 +193,7 @@ def make_train_step(
                 jnp.ones(3),
                 frame_idx,
                 gt_back_settings,
+                attrs=attrs,
             )
 
         metrics = {}
@@ -256,11 +271,6 @@ def make_train_step(
         if use_explicit:
             scales_mean = jnp.mean(S.get_scaling(params))
         else:
-            from ..field.attribute_field import attribute_field_apply
-
-            attrs = attribute_field_apply(
-                params.field, params.xyz, cfg=model.field_cfg
-            )
             scales_mean = jnp.mean(attrs["scales"])
         loss = loss + C(w.scales) * scales_mean
         metrics["loss_scales"] = scales_mean

@@ -13,7 +13,14 @@ from soar_tpu.field import (
 )
 from soar_tpu.field.hashgrid import _hash3, normalize_positions
 
-TINY = HashGridConfig(num_levels=4, min_res=4, max_res=32, log2_hashmap_size=10)
+TINY = HashGridConfig(
+    num_levels=4, min_res=4, max_res=32, log2_hashmap_size=10,
+    mode="corner", dtype="float32",
+)
+TINY_CELL = HashGridConfig(
+    num_levels=4, min_res=4, max_res=32, log2_hashmap_size=10,
+    mode="cell", dtype="float32",
+)
 TINY_FIELD = AttributeFieldConfig(grid=TINY, hidden_dim=16)
 
 
@@ -61,6 +68,33 @@ def test_hash_encode_continuity():
     p = jnp.array([[0.25 - 1e-5, 0.3, 0.7], [0.25 + 1e-5, 0.3, 0.7]])
     f = hash_encode(table, p, cfg)
     np.testing.assert_allclose(f[0], f[1], atol=1e-3)
+
+
+def test_cell_mode_shapes_and_gradients():
+    """Cell-packed mode: same output dim, within-cell continuity, gradient
+    flows to the packed table."""
+    cfg = TINY_CELL
+    table = init_hash_grid(jax.random.PRNGKey(0), cfg)
+    assert table.shape == (4, cfg.table_size, 16)  # 8 corners x 2 features
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (13, 3))
+    out = hash_encode(table, pts, cfg)
+    assert out.shape == (13, cfg.out_dim)
+
+    # Continuity inside one cell of the finest level (no boundary crossing):
+    eps = 1e-5
+    p0 = jnp.array([[0.51, 0.52, 0.53]])
+    f0 = hash_encode(table, p0, cfg)
+    f1 = hash_encode(table, p0 + eps, cfg)
+    np.testing.assert_allclose(f0, f1, atol=1e-2)
+
+    g = jax.grad(lambda t: jnp.sum(hash_encode(t, pts, cfg) ** 2))(table)
+    assert float(jnp.abs(g).max()) > 0
+
+    # Exact trilerp: at a corner of every level's lattice... use weight sum:
+    # weights must sum to 1 => encoding of a constant table is that constant.
+    const = jnp.ones_like(table) * 0.25
+    f = hash_encode(const, pts, cfg)
+    np.testing.assert_allclose(f, 0.25, atol=1e-5)
 
 
 def test_attribute_field_shapes_and_activations():

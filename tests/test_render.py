@@ -247,6 +247,34 @@ def test_tiled_gradients_match_oracle():
     np.testing.assert_allclose(gm_t, gm_o, atol=1e-4)
 
 
+def test_rasterize_with_occ_matches_separate_pass():
+    """Shared-binning occ pass == an independent front-face-culled render
+    (capacity ample so truncation differences vanish)."""
+    from soar_tpu.render.tiled import rasterize_with_occ
+
+    cfg = RasterConfig(max_per_tile=96, dup_side=4)
+    g = make_scene(n=50)
+    cam = make_camera()
+    bg = jnp.array([0.3, 0.3, 0.3])
+    occ_colors = jnp.asarray(
+        np.random.RandomState(1).rand(50, 3).astype(np.float32)
+    )
+
+    main, occ = rasterize_with_occ(g, occ_colors, cam, (64, 64), bg, cfg)
+
+    main_ref = rasterize(g, cam, (64, 64), bg, cfg)
+    occ_ref = rasterize(
+        g._replace(colors=occ_colors),
+        cam,
+        (64, 64),
+        bg,
+        RasterConfig(max_per_tile=96, dup_side=4, render_front=True),
+    )
+    np.testing.assert_allclose(main.color, main_ref.color, atol=1e-5)
+    np.testing.assert_allclose(occ.color, occ_ref.color, atol=1e-5)
+    np.testing.assert_allclose(occ.opac, occ_ref.opac, atol=1e-5)
+
+
 def test_gradients_finite_difference():
     """Color gradients against central finite differences (the analogue of
     finite-difference-checking the hand-written CUDA backward)."""
