@@ -69,13 +69,16 @@ def render_view(
     frame_idx: jnp.ndarray,
     settings: RenderSettings = RenderSettings(),
     attrs: Optional[Dict[str, jnp.ndarray]] = None,
+    smpl_override: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     points = params.xyz
     rot = S.get_rotation(params)
 
     # LBS: per-point rigid mats from the frame's pose; gen views zero the
     # root orientation/translation (``utils/smpl.py:597-599``).
-    live_A = S.live_affines(model, frame_idx, zero_root=settings.gen_view)
+    live_A = S.live_affines(
+        model, frame_idx, zero_root=settings.gen_view, override=smpl_override
+    )
     pt_mats = point_skinning_mats(model.skin, live_A)
 
     if attrs is None:

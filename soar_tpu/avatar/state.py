@@ -120,11 +120,15 @@ def canonical_pose_params(
 
 
 def frame_params(
-    model: AvatarModel, frame_idx: jnp.ndarray, zero_root: bool = False
+    model: AvatarModel,
+    frame_idx: jnp.ndarray,
+    zero_root: bool = False,
+    override: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Slice per-frame SMPL params; optionally zero global_orient/transl
     (+ the (0, 0.3, 0) shift) as the gen-view path does
-    (``utils/smpl.py:597-599``)."""
+    (``utils/smpl.py:597-599``).  ``override`` entries replace sliced values
+    (novel-pose rendering, ``test/render_rot.py:159-164``)."""
     sp = model.smpl_params
     idx = frame_idx % model.num_frames
     out = {}
@@ -138,14 +142,22 @@ def frame_params(
     if zero_root:
         out["global_orient"] = jnp.zeros_like(out["global_orient"])
         out["transl"] = jnp.zeros_like(out["transl"]) + jnp.array([0.0, 0.3, 0.0])
+    if override:
+        for k, v in override.items():
+            out[k] = jnp.reshape(jnp.asarray(v), out[k].shape)
     return out
 
 
 def live_affines(
-    model: AvatarModel, frame_idx: jnp.ndarray, zero_root: bool = False
+    model: AvatarModel,
+    frame_idx: jnp.ndarray,
+    zero_root: bool = False,
+    override: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """Per-joint live affines A [J, 4, 4] for a frame."""
-    out = smplx_forward(model.body, frame_params(model, frame_idx, zero_root))
+    out = smplx_forward(
+        model.body, frame_params(model, frame_idx, zero_root, override)
+    )
     return out.A[0]
 
 

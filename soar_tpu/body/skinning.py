@@ -29,6 +29,7 @@ def _chunked_topk_neg_dist2(
     nearest reference points.  Chunked over points to bound memory at
     ``chunk * V`` floats."""
     n = points.shape[0]
+    k = min(k, ref.shape[0])  # tiny bodies: clamp to available neighbors
     pad = (-n) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     pts = pts.reshape(-1, chunk, 3)

