@@ -271,7 +271,8 @@ def make_test_body(
     lbs_weights = np.asarray(weights, np.float32)
     V = v_template.shape[0]
 
-    # Faces: triangulate the tube between consecutive rings.
+    # Faces: triangulate the tube between consecutive rings (winding chosen
+    # so vertex normals point outward).
     faces = []
     for row in range(n_rows):
         for k in range(ring):
@@ -279,8 +280,8 @@ def make_test_body(
             b = row * ring + (k + 1) % ring
             c = (row + 1) * ring + k
             d = (row + 1) * ring + (k + 1) % ring
-            faces.append([a, b, c])
-            faces.append([b, d, c])
+            faces.append([a, c, b])
+            faces.append([b, c, d])
     faces = np.asarray(faces, np.int32)
 
     # J_regressor: joint j at the ring nearest y = j * bone_len.

@@ -69,9 +69,9 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normals
     V = len(verts)
     vn = np.zeros_like(verts)
-    idx = faces.reshape(-1)
+    idx = faces.reshape(-1)  # face-major: (f0.a, f0.b, f0.c, f1.a, ...)
     for c in range(3):
-        vn[:, c] = np.bincount(idx, np.tile(fn[:, c], 3), minlength=V)
+        vn[:, c] = np.bincount(idx, np.repeat(fn[:, c], 3), minlength=V)
     norm = np.linalg.norm(vn, axis=-1, keepdims=True)
     return vn / np.maximum(norm, 1e-12)
 
@@ -82,7 +82,7 @@ def vertex_area_radius(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     area = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1) / 2.0
     vtx_area = np.bincount(
-        faces.reshape(-1), np.tile(area / 3.0, 3), minlength=len(verts)
+        faces.reshape(-1), np.repeat(area / 3.0, 3), minlength=len(verts)
     )
     return np.sqrt(vtx_area / np.pi)
 

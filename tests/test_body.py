@@ -142,6 +142,19 @@ def test_point_skinning_rigid_consistency():
     np.testing.assert_allclose(m1, expected, atol=1e-4)
 
 
+def test_vertex_normals_point_outward():
+    """Regression: bincount weight alignment + consistent tube winding."""
+    from soar_tpu.body.template import vertex_normals
+
+    body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
+    v, f = np.asarray(body.v_template), np.asarray(body.faces)
+    vn = vertex_normals(v, f)
+    radial = v.copy()
+    radial[:, 1] = 0.0  # outward = away from the tube's +y axis
+    frac_outward = (np.sum(vn * radial, axis=1) > 0).mean()
+    assert frac_outward > 0.99, frac_outward
+
+
 def test_template_subdivision_counts():
     from soar_tpu.body.template import subdivide_n, init_qso_on_mesh
 
