@@ -1,0 +1,212 @@
+"""Multi-view SDS diffusion guidance (ImageDream / MVDream).
+
+Functional rebuild of ``guidance/imagedream_guidance.py:19-358`` (and its
+text-only MVDream sibling ``guidance/mvdream_guidance.py``): encode the 4
+rendered views to latents (WITH gradient), add noise at a timestep sampled
+from the annealed [min, max]-percent window, run the frozen 4-view UNet twice
+(CFG), and return either the x0-reconstruction loss with
+``recon_std_rescale`` or plain SDS.
+
+The diffusion networks are INJECTED as callables so the math is testable
+without pretrained weights (zero-egress environment):
+
+    encode_fn(images [B, H, W, 3] in [0,1], key) -> latents [B, h, w, 4]
+    denoise_fn(latents [B2, h, w, 4], t [B2], context dict) -> eps [B2, h, w, 4]
+
+Real networks live in :mod:`soar_tpu.guidance.unet` / ``.vae`` with torch
+weight converters; ``mock_denoiser`` below supports tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..train.config import Scheduled, scheduled
+from .scheduler import DDPMSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """Mirrors the reference guidance Config + the SOAR yaml overrides
+    (``configs/gaussiansurfel_imagedream_s0.yaml:86-95``)."""
+
+    guidance_scale: float = 5.0
+    min_step_percent: Scheduled = 0.02
+    max_step_percent: Scheduled = (0, 0.75, 0.25, 2000)
+    n_view: int = 4
+    image_size: int = 256
+    recon_loss: bool = True
+    recon_std_rescale: float = 0.2
+    num_train_timesteps: int = 1000
+    grad_clip: Optional[float] = None
+
+
+def normalize_camera(c2w: jnp.ndarray) -> jnp.ndarray:
+    """ImageDream camera conditioning: c2w with translation scaled to unit
+    norm, flattened to 16 floats (``imagedream.camera_utils.normalize_camera``
+    consumed at ``imagedream_guidance.py:82-84``)."""
+    t = c2w[..., :3, 3]
+    scale = jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+    c2w = c2w.at[..., :3, 3].set(t / scale)
+    return c2w.reshape(c2w.shape[:-2] + (16,))
+
+
+class MultiviewGuidance:
+    """Stateless-by-convention guidance: all trained weights live inside the
+    injected callables."""
+
+    def __init__(
+        self,
+        cfg: GuidanceConfig,
+        encode_fn: Callable,
+        denoise_fn: Callable,
+        text_embeddings: jnp.ndarray,  # [2, 77, D] (cond, uncond)
+        image_embed_fn: Optional[Callable] = None,  # ref img -> ip embedding
+    ):
+        self.cfg = cfg
+        self.encode_fn = encode_fn
+        self.denoise_fn = denoise_fn
+        self.text_embeddings = text_embeddings
+        self.image_embed_fn = image_embed_fn
+        self.schedule = DDPMSchedule.stable_diffusion(cfg.num_train_timesteps)
+
+    def __call__(
+        self,
+        rgb: jnp.ndarray,  # [V, H, W, 3] in [0, 1] (grad flows through)
+        c2w: jnp.ndarray,  # [V, 4, 4]
+        key: jax.Array,
+        step: jnp.ndarray,
+        ref_rgb: Optional[jnp.ndarray] = None,  # [h, w, 3] image prompt
+        ref_mask: Optional[jnp.ndarray] = None,
+        comp_bg: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        V = cfg.n_view
+        k_t, k_noise, k_enc = jax.random.split(key, 3)
+
+        # Resize renders to the diffusion resolution and VAE-encode (grad!).
+        size = (cfg.image_size, cfg.image_size)
+        rgb_r = jax.image.resize(
+            rgb, (rgb.shape[0],) + size + (3,), method="bilinear"
+        )
+        latents = self.encode_fn(rgb_r, k_enc)  # [V, h, w, 4]
+
+        # Annealed timestep window (``update_step`` + randint,
+        # ``imagedream_guidance.py:223-235, 354-358``).
+        min_sp = scheduled(cfg.min_step_percent, step)
+        max_sp = scheduled(cfg.max_step_percent, step)
+        min_step = (cfg.num_train_timesteps * min_sp).astype(jnp.int32)
+        max_step = (cfg.num_train_timesteps * max_sp).astype(jnp.int32)
+        u = jax.random.uniform(k_t)
+        t = (min_step + (u * (max_step + 1 - min_step)).astype(jnp.int32)).astype(
+            jnp.int32
+        )
+
+        noise = jax.random.normal(k_noise, latents.shape)
+        latents_noisy = self.schedule.q_sample(
+            latents, t, noise
+        )  # broadcast scalar t
+
+        # CFG batch: [cond views; uncond views].
+        latent_in = jnp.concatenate([latents_noisy] * 2, axis=0)
+        t_in = jnp.full((2 * V,), t, jnp.int32)
+        camera = normalize_camera(c2w)
+        camera_in = jnp.concatenate([camera] * 2, axis=0)
+
+        cond, uncond = self.text_embeddings[0], self.text_embeddings[1]
+        context = {
+            "context": jnp.concatenate(
+                [jnp.tile(cond[None], (V, 1, 1)), jnp.tile(uncond[None], (V, 1, 1))],
+                axis=0,
+            ),
+            "camera": camera_in,
+            "num_frames": V,
+        }
+        if ref_rgb is not None and self.image_embed_fn is not None:
+            ip = ref_rgb
+            if comp_bg is not None and ref_mask is not None:
+                ip = ref_rgb * ref_mask[..., None] + comp_bg * (
+                    1.0 - ref_mask[..., None]
+                )
+            img_emb = self.image_embed_fn(ip)
+            context["ip"] = jnp.concatenate(
+                [
+                    jnp.tile(img_emb[None], (V, 1, 1)),
+                    jnp.zeros((V,) + img_emb.shape),
+                ],
+                axis=0,
+            )
+
+        # Frozen denoiser (no grad).
+        noise_pred = jax.lax.stop_gradient(
+            self.denoise_fn(latent_in, t_in, context)
+        )
+        noise_pred_text = noise_pred[:V]
+        noise_pred_uncond = noise_pred[V:]
+        noise_pred = noise_pred_uncond + cfg.guidance_scale * (
+            noise_pred_text - noise_pred_uncond
+        )
+
+        if cfg.recon_loss:
+            latents_recon = self.schedule.predict_start_from_noise(
+                latents_noisy, t, noise_pred
+            )
+            if cfg.recon_std_rescale > 0:
+                recon_nocfg = self.schedule.predict_start_from_noise(
+                    latents_noisy, t, noise_pred_text
+                )
+                # Per-view-group std matching (``:304-324``); the view group
+                # is the whole batch here (real_batch_size=1).
+                factor = (jnp.std(recon_nocfg) + 1e-8) / (
+                    jnp.std(latents_recon) + 1e-8
+                )
+                latents_recon = (
+                    cfg.recon_std_rescale * latents_recon * factor
+                    + (1.0 - cfg.recon_std_rescale) * latents_recon
+                )
+            target = jax.lax.stop_gradient(latents_recon)
+            loss = 0.5 * jnp.sum((latents - target) ** 2) / latents.shape[0]
+            grad_norm = jnp.linalg.norm(latents - target)
+        else:
+            w = 1.0 - self.schedule.alphas_cumprod[t]
+            grad = w * (noise_pred - noise)
+            if cfg.grad_clip is not None:
+                grad = jnp.clip(grad, -cfg.grad_clip, cfg.grad_clip)
+            grad = jnp.nan_to_num(grad)
+            target = jax.lax.stop_gradient(latents - grad)
+            loss = 0.5 * jnp.sum((latents - target) ** 2) / latents.shape[0]
+            grad_norm = jnp.linalg.norm(grad)
+
+        return {"loss_sds": loss, "grad_norm": grad_norm, "t": t}
+
+
+def mock_denoiser(schedule: DDPMSchedule, x0_target: Optional[jnp.ndarray] = None):
+    """Test denoiser.  With ``x0_target=None`` it returns the exact noise
+    implied by reconstructing the INPUT as x0=0; with a target, the noise
+    implied by x0=x0_target — so SDS pulls latents toward the target."""
+
+    def fn(latents_noisy, t, context):
+        a = schedule.sqrt_alphas_cumprod[t[0]]
+        s = schedule.sqrt_one_minus_alphas_cumprod[t[0]]
+        x0 = jnp.zeros_like(latents_noisy) if x0_target is None else (
+            jnp.concatenate([x0_target] * 2, axis=0)
+        )
+        return (latents_noisy - a * x0) / s
+
+    return fn
+
+
+def mock_encoder(downscale: int = 8):
+    """Test VAE-encoder stand-in: average-pool + channel pad to 4."""
+
+    def fn(images, key):
+        B, H, W, _ = images.shape
+        h, w = H // downscale, W // downscale
+        x = images.reshape(B, h, downscale, w, downscale, 3).mean((2, 4))
+        return jnp.concatenate([x, jnp.zeros((B, h, w, 1))], axis=-1)
+
+    return fn
