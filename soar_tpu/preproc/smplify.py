@@ -1,0 +1,297 @@
+"""SMPLify: keypoint-based SMPL-X parameter refinement in JAX.
+
+Rebuild of the reference refiner (``preproc/utils.py:593-982``): optimize 6D
+joint rotations + translation + (frame-averaged) betas against 2D keypoints
+with an L-BFGS (strong-Wolfe zoom linesearch via ``optax.lbfgs``) in two
+stages — body only (20 steps, hands ignored), then body+hands (40 steps).
+
+Losses (``preproc/utils.py:638-683``):
+- GMoF-robustified keypoint reprojection, scale-normalized to 200px, x100
+- preserve-to-initialization L2, x60
+- temporal smoothness: geodesic distance between consecutive frame rotations,
+  x10000
+
+TPU-first: ALL frames are optimized jointly as one batched jitted problem
+(the reference also batches frames; its LBFGS closure re-launches per step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..body.model import BodyModel, smplx_forward
+
+
+# --- rotation parameterizations (``preproc/utils.py:156-167``) -------------
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-8)
+    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def matrix_to_rotation_6d(R: jnp.ndarray) -> jnp.ndarray:
+    return R[..., :2, :].reshape(R.shape[:-2] + (6,))
+
+
+def rotmat_to_rotvec(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Matrix -> axis-angle (numerically safe log map)."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos = jnp.clip((trace - 1.0) / 2.0, -1.0 + eps, 1.0 - eps)
+    angle = jnp.arccos(cos)
+    axis = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    axis = axis / jnp.maximum(2.0 * jnp.sin(angle)[..., None], eps)
+    return axis * angle[..., None]
+
+
+def gmof(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Geman-McClure robustifier (``preproc/utils.py:135-139``)."""
+    x2 = x * x
+    s2 = sigma * sigma
+    return s2 * x2 / (s2 + x2)
+
+
+def smooth_loss_6d(d6: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic distance between consecutive frames' rotations
+    (``preproc/utils.py:149-152``).  d6: [F, J*6] (or [F, 6])."""
+    R = rotation_6d_to_matrix(d6.reshape(d6.shape[0], -1, 6))
+    R12 = jnp.einsum("fjab,fjcb->fjac", R[1:], R[:-1])
+    return jnp.mean(jnp.sum(rotmat_to_rotvec(R12) ** 2, axis=-1))
+
+
+def target_scales_from_kps(target_kps_px: np.ndarray) -> np.ndarray:
+    """Per-frame keypoint bbox extent (``preproc/utils.py:170-178``)."""
+    scales = []
+    for frame in target_kps_px:
+        valid = frame[frame[:, -1] > 0.3]
+        if len(valid) == 0:
+            scales.append(1.0)
+            continue
+        ext = valid[:, :2].max(0) - valid[:, :2].min(0)
+        scales.append(float(max(ext[0], ext[1])))
+    return np.asarray(scales, np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SMPLifyConfig:
+    body_steps: int = 20
+    hand_steps: int = 40
+    kp_weight: float = 100.0
+    preserve_weight: float = 60.0
+    smooth_weight: float = 10000.0
+    sigma: float = 100.0
+
+
+_POSE_KEYS = ("body_pose", "global_orient", "left_hand_pose", "right_hand_pose")
+
+
+def _to_6d(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    from ..core.transforms import batch_rodrigues
+
+    out = {}
+    for k, v in params.items():
+        if k in _POSE_KEYS:
+            aa = v.reshape(v.shape[0], -1, 3)
+            out[k] = matrix_to_rotation_6d(batch_rodrigues(aa)).reshape(
+                v.shape[0], -1
+            )
+        elif k == "betas":
+            out[k] = jnp.mean(jnp.atleast_2d(v), axis=0, keepdims=True)
+        else:
+            out[k] = v
+    return out
+
+
+def _to_axis_angle(params6: Dict[str, jnp.ndarray], n_frames: int):
+    out = {}
+    for k, v in params6.items():
+        if k in _POSE_KEYS:
+            R = rotation_6d_to_matrix(v.reshape(v.shape[0], -1, 6))
+            out[k] = rotmat_to_rotvec(R).reshape(v.shape[0], -1)
+        elif k == "betas":
+            out[k] = jnp.broadcast_to(v, (n_frames, v.shape[-1]))
+        else:
+            out[k] = v
+    return out
+
+
+class SMPLify:
+    """Two-stage keypoint refinement.
+
+    Args:
+        body: the body model.
+        joint_map: [K] indices selecting model joints corresponding to the
+            target keypoints' columns (reference builds an SMPL-X ->
+            OpenPose-137 mapping, ``preproc/utils.py:180-592``; pass
+            :func:`smplx_to_openpose25` output for real data).
+        hand_kp_slice: (start, end) of hand keypoints in the target columns
+            to zero during stage 1 (``kp_confs[:, 25:-70] = 0``).
+    """
+
+    def __init__(
+        self,
+        body: BodyModel,
+        joint_map: np.ndarray,
+        cfg: SMPLifyConfig = SMPLifyConfig(),
+        hand_kp_slice: Optional[Tuple[int, int]] = None,
+    ):
+        self.body = body
+        self.joint_map = jnp.asarray(joint_map, jnp.int32)
+        self.cfg = cfg
+        self.hand_kp_slice = hand_kp_slice
+
+    def _loss(
+        self,
+        opt6,  # optimized 6D params (dict)
+        fixed6,  # non-optimized params (dict)
+        init6,
+        Ks,
+        w2c,
+        target_kps_px,  # [F, K, 3] (x px, y px, conf)
+        target_scales,  # [F]
+        ignore_hands: bool,
+    ):
+        params6 = {**fixed6, **opt6}
+        n_frames = Ks.shape[0]
+        aa = _to_axis_angle(params6, n_frames)
+        out = smplx_forward(self.body, aa)
+        joints = out.joints[:, : self.body.num_joints]
+        pred = joints[:, self.joint_map]  # [F, K, 3]
+
+        ones = jnp.ones_like(pred[..., :1])
+        pred_c = jnp.einsum(
+            "ij,fkj->fki", w2c[:3], jnp.concatenate([pred, ones], -1)
+        )
+        pix = jnp.einsum("fij,fkj->fki", Ks, pred_c)
+        pix = pix[..., :2] / jnp.maximum(pix[..., 2:], 1e-5)
+
+        conf = target_kps_px[..., 2:]
+        if ignore_hands and self.hand_kp_slice is not None:
+            s, e = self.hand_kp_slice
+            conf = conf.at[:, s:e].set(0.0)
+        resid = (pix - target_kps_px[..., :2]) / target_scales[:, None, None] * 200.0
+        kp_loss = jnp.mean(gmof(resid, self.cfg.sigma) * conf)
+
+        # eps-safe norm: params == init at stage start and the exact L2 norm
+        # has a NaN gradient at 0.
+        preserve = sum(
+            jnp.mean(
+                jnp.sqrt(jnp.sum((params6[k] - init6[k]) ** 2, -1) + 1e-12)
+            )
+            for k in params6
+        )
+        smooth = sum(
+            smooth_loss_6d(params6[k]) for k in _POSE_KEYS if k in params6
+        )
+        return (
+            self.cfg.kp_weight * kp_loss
+            + self.cfg.preserve_weight * preserve
+            + self.cfg.smooth_weight * smooth
+        )
+
+    def _run_stage(self, opt6, fixed6, init6, aux, steps, ignore_hands):
+        loss_fn = lambda p: self._loss(
+            p, fixed6, init6, *aux, ignore_hands=ignore_hands
+        )
+        opt = optax.lbfgs()
+        value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+        @jax.jit
+        def step(params, state):
+            value, grad = value_and_grad(params, state=state)
+            updates, state = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=loss_fn
+            )
+            params = optax.apply_updates(params, updates)
+            return params, state, value
+
+        state = opt.init(opt6)
+        value = None
+        for _ in range(steps):
+            opt6, state, value = step(opt6, state)
+        return opt6, value
+
+    def fit(
+        self,
+        init_params: Dict[str, jnp.ndarray],  # axis-angle, per-frame
+        Ks: jnp.ndarray,  # [F, 3, 3]
+        w2c: jnp.ndarray,  # [4, 4]
+        target_kps: np.ndarray,  # [F, K, 3] normalized (x, y in [0,1], conf)
+        img_wh: Tuple[int, int],
+    ) -> Dict[str, jnp.ndarray]:
+        target_px = np.concatenate(
+            [
+                np.asarray(target_kps[..., :2]) * np.asarray(img_wh, np.float32),
+                np.asarray(target_kps[..., 2:]),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        scales = target_scales_from_kps(target_px)
+        aux = (
+            jnp.asarray(Ks),
+            jnp.asarray(w2c),
+            jnp.asarray(target_px),
+            jnp.asarray(scales),
+        )
+
+        params6 = _to_6d({k: jnp.asarray(v) for k, v in init_params.items()})
+        init6 = jax.tree_util.tree_map(jnp.copy, params6)
+
+        stage1_keys = ("betas", "body_pose", "global_orient", "transl")
+        opt6 = {k: params6[k] for k in stage1_keys if k in params6}
+        fixed6 = {k: v for k, v in params6.items() if k not in opt6}
+        opt6, _ = self._run_stage(
+            opt6, fixed6, init6, aux, self.cfg.body_steps, ignore_hands=True
+        )
+        params6 = {**fixed6, **opt6}
+
+        stage2_keys = stage1_keys + ("left_hand_pose", "right_hand_pose")
+        opt6 = {k: params6[k] for k in stage2_keys if k in params6}
+        fixed6 = {k: v for k, v in params6.items() if k not in opt6}
+        opt6, final = self._run_stage(
+            opt6, fixed6, init6, aux, self.cfg.hand_steps, ignore_hands=False
+        )
+        params6 = {**fixed6, **opt6}
+
+        n_frames = int(Ks.shape[0])
+        return _to_axis_angle(params6, n_frames)
+
+
+def smplx_to_openpose25() -> np.ndarray:
+    """Model-joint indices for the OpenPose BODY_25 columns, using SMPL-X
+    kinematic joints only (reference additionally uses vertex landmarks via
+    smplx's VertexJointSelector, ``preproc/utils.py:180-592``; nose/eye/ear/
+    toe columns here reuse the head/foot joints, which the confidence
+    weighting tolerates)."""
+    return np.asarray(
+        [
+            15,  # nose -> head
+            12,  # neck
+            17, 19, 21,  # R shoulder, elbow, wrist
+            16, 18, 20,  # L shoulder, elbow, wrist
+            0,  # mid hip -> pelvis
+            2, 5, 8,  # R hip, knee, ankle
+            1, 4, 7,  # L hip, knee, ankle
+            15, 15, 15, 15,  # eyes/ears -> head
+            10, 10, 7,  # L toe, toe, heel -> L foot/ankle
+            11, 11, 8,  # R toe, toe, heel -> R foot/ankle
+        ],
+        np.int64,
+    )

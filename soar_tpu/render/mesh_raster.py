@@ -75,12 +75,18 @@ def render_mesh(
     ndc = clip[:, :3] / jnp.maximum(clip[:, 3:4], 1e-8)
     vx = ndc2pix(ndc[:, 0], W, 0.5)
     vy = ndc2pix(ndc[:, 1], H, 0.5)
-    vz = (v_h @ w2c.T)[:, 2]  # view-space depth
+    vz = (v_h @ w2c.T)[:, 2]  # view-space depth (output)
+    # Z-test key: NDC depth (screen-affine, so plain barycentric interpolation
+    # is exact).  Using the PROJECTED z honors the reference's back-surface
+    # trick of flipping the projection's 3rd row (``compute_normal.py:176``):
+    # flipped ndc-z reverses the arg-min, rendering the far surface.
+    vkey = ndc[:, 2]
     vnorm = _vertex_normals(verts, faces)
 
     px = vx[faces]  # [F, 3]
     py = vy[faces]
     pz = vz[faces]
+    pk = vkey[faces]
     fnorm = vnorm[faces]  # [F, 3, 3]
 
     valid = jnp.all(pz > 1e-4, axis=-1)
@@ -123,6 +129,7 @@ def render_mesh(
     gx = px[gidx]  # [NT, K, 3]
     gy = py[gidx]
     gz = pz[gidx]
+    gk = pk[gidx]
 
     # Per-tile pixel coords [NT, P].
     tx0 = (jnp.arange(NT, dtype=jnp.int32) % ntx) * tile
@@ -159,7 +166,14 @@ def render_mesh(
         & slot_valid[:, None, :]
     )
 
-    # Perspective-correct depth via 1/z interpolation.
+    # Z-test on the screen-affine NDC depth; view-space depth (perspective-
+    # correct via 1/z interpolation) is the reported depth.
+    zkey = (
+        b0 * gk[..., 0][:, None]
+        + b1 * gk[..., 1][:, None]
+        + b2 * gk[..., 2][:, None]
+    )
+    zkey = jnp.where(inside, zkey, jnp.inf)
     inv_z = (
         b0 / gz[..., 0][:, None]
         + b1 / gz[..., 1][:, None]
@@ -168,8 +182,8 @@ def render_mesh(
     depth = 1.0 / jnp.maximum(inv_z, 1e-8)
     depth = jnp.where(inside, depth, jnp.inf)
 
-    best = jnp.argmin(depth, axis=-1)  # [NT, P]
-    hit = jnp.take_along_axis(depth, best[..., None], axis=-1)[..., 0] < jnp.inf
+    best = jnp.argmin(zkey, axis=-1)  # [NT, P]
+    hit = jnp.take_along_axis(zkey, best[..., None], axis=-1)[..., 0] < jnp.inf
 
     def pick(arr):  # [NT, P, K] -> [NT, P]
         return jnp.take_along_axis(arr, best[..., None], axis=2)[..., 0]
