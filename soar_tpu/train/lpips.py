@@ -1,0 +1,109 @@
+"""LPIPS (VGG16 backbone) in flax.
+
+The reference computes LPIPS-VGG losses and metrics via the ``lpips`` pip
+package (``system/gaussian_surfel_mvdream.py:23-24, 342-358, 561-567``).
+This rebuild implements the exact LPIPS-v0.1 computation:
+
+    scale inputs by the LPIPS shift/scale -> VGG16 features at relu1_2,
+    relu2_2, relu3_3, relu4_3, relu5_3 -> channel-unit-normalize ->
+    squared difference -> per-layer learned 1x1 weights -> spatial mean, sum.
+
+Weights (VGG16 + the 5 linear layers) convert from the torch ``lpips``
+package via :func:`convert_lpips_params` — no weights are downloadable in
+this environment, so training/eval gate LPIPS on the converted file's
+presence (losses fall back to 0 with a warning, matching configs that set
+``lambda_vgg = 0``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+              512, 512, 512)
+_SLICE_AFTER = (1, 3, 6, 9, 12)  # conv indices whose relu output is tapped
+
+_SHIFT = np.asarray([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
+
+
+class VGG16Features(nn.Module):
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        feats = []
+        conv_i = 0
+        for c in _VGG16_CFG:
+            if c == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(c, (3, 3), padding=1, name=f"conv_{conv_i}")(x)
+                x = nn.relu(x)
+                if conv_i in _SLICE_AFTER:
+                    feats.append(x)
+                conv_i += 1
+        return feats
+
+
+class LPIPS(nn.Module):
+    @nn.compact
+    def __call__(self, img0, img1):
+        """img0/img1: [B, H, W, 3] in [-1, 1] -> [B] distances."""
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        vgg = VGG16Features(name="vgg")
+        f0 = vgg((img0 - shift) / scale)
+        f1 = vgg((img1 - shift) / scale)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(f0, f1)):
+            a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
+            b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
+            d = (a - b) ** 2
+            w = self.param(
+                f"lin_{i}", nn.initializers.ones, (d.shape[-1],)
+            )
+            total = total + jnp.mean(
+                jnp.sum(d * jnp.maximum(w, 0.0), axis=-1), axis=(1, 2)
+            )
+        return total
+
+
+def convert_lpips_params(vgg_sd: Dict, lpips_sd: Dict) -> Dict:
+    """torchvision VGG16 ``features`` + lpips ``lin{i}.model.1.weight`` ->
+    flax variables."""
+    p: Dict = {"vgg": {}}
+    torch_conv_layers = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    for i, tl in enumerate(torch_conv_layers):
+        w = np.asarray(vgg_sd[f"features.{tl}.weight"])
+        b = np.asarray(vgg_sd[f"features.{tl}.bias"])
+        p["vgg"][f"conv_{i}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": b,
+        }
+    for i in range(5):
+        lw = np.asarray(lpips_sd[f"lin{i}.model.1.weight"])[:, :, 0, 0][0]
+        p[f"lin_{i}"] = lw
+    return {"params": p}
+
+
+def load_lpips(path: Optional[str] = None):
+    """Returns lpips_fn(img0_01, img1_01) -> float, or None if weights are
+    unavailable (callers treat None as 'LPIPS disabled')."""
+    if path is None or not __import__("os").path.exists(path or ""):
+        return None
+    import pickle
+
+    with open(path, "rb") as f:
+        variables = pickle.load(f)
+    net = LPIPS()
+
+    def fn(a01, b01):
+        a = jnp.asarray(a01)[None] * 2.0 - 1.0
+        b = jnp.asarray(b01)[None] * 2.0 - 1.0
+        return float(net.apply(variables, a, b)[0])
+
+    return fn
