@@ -79,22 +79,36 @@ def bin_and_sort(
     )
     tile_id = jnp.where(slot_ok, ty * ntx + tx, NT).astype(jnp.int32)
 
-    depth_key = pre.depth
-    if cfg.sort_descending:
-        depth_key = -depth_key
-    depth_key = jnp.broadcast_to(depth_key[:, None], (N, S * S))
+    # Pack (tile, depth) into ONE uint32 sort key — the XLA-TPU backend
+    # compiles multi-operand lexicographic sorts ~3x slower, and this sort is
+    # the single largest compile-time item in the whole pipeline.  Depth is
+    # quantized to the remaining bits over the frame's [min, max] range;
+    # quantization ties only permute (near-)equal-depth splats, which alpha
+    # compositing is insensitive to.
+    tile_bits = max(int(NT + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    depth_key = -pre.depth if cfg.sort_descending else pre.depth
+    dmin = jnp.min(jnp.where(pre.valid, depth_key, jnp.inf))
+    dmax = jnp.max(jnp.where(pre.valid, depth_key, -jnp.inf))
+    span = jnp.maximum(dmax - dmin, 1e-8)
+    # Clamp AFTER the integer cast: f32 rounds 2^db - 1 up to 2^db for
+    # db > 24, which would overflow the depth field into the tile bits.
+    dq = jnp.maximum(
+        (depth_key - dmin) / span * (2.0**depth_bits - 1.0), 0.0
+    ).astype(jnp.uint32)
+    dq = jnp.minimum(dq, jnp.uint32(2**depth_bits - 1))
 
+    key = (
+        tile_id.astype(jnp.uint32) << depth_bits
+    ) | jnp.broadcast_to(dq[:, None], (N, S * S))
     surfel_idx = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None], (N, S * S)
     )
 
-    tile_flat = tile_id.reshape(-1)
-    key_flat = depth_key.reshape(-1)
-    idx_flat = surfel_idx.reshape(-1)
-
-    sorted_tile, _, sorted_idx = jax.lax.sort(
-        (tile_flat, key_flat, idx_flat), num_keys=2
+    sorted_key, sorted_idx = jax.lax.sort_key_val(
+        key.reshape(-1), surfel_idx.reshape(-1)
     )
+    sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
 
     boundaries = jnp.arange(NT, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, boundaries, side="left")
