@@ -243,3 +243,21 @@ def init_avatar(
 
 def _logit(x: float) -> float:
     return float(np.log(x / (1.0 - x)))
+
+
+def refresh_skinning(model: AvatarModel, points: jnp.ndarray) -> AvatarModel:
+    """Recompute the kNN-IDW skinning weights for the CURRENT points.
+
+    The reference recomputes ``query_weights_smpl`` on every forward
+    (``utils/smpl.py:611``); we precompute at init — valid because the delta
+    loss pins xyz near the template (SOAR's points move sub-centimeter) —
+    and refresh explicitly here after densification or large moves.
+    """
+    from ..body.skinning import knn_idw_weights
+
+    weights = knn_idw_weights(
+        points, model.skin.cano_vertices, model.body.lbs_weights, k=30
+    )
+    return dataclasses.replace(
+        model, skin=model.skin._replace(point_weights=weights)
+    )
