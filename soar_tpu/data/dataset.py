@@ -113,8 +113,12 @@ class AvatarDataset:
     def image_size(self) -> Tuple[int, int]:
         return self.images.shape[1], self.images.shape[2]
 
-    def gt_c2w(self) -> np.ndarray:
-        return np.linalg.inv(self.w2c)
+    def gt_c2w(self, frame_idx: int = 0) -> np.ndarray:
+        """c2w for a frame; monocular sequences share one extrinsic
+        (``w2c`` [4,4]), few-shot synthetic ones have per-view extrinsics
+        ([F,4,4], cf. FS dataset ``uncond_multiview.py:1380-1390``)."""
+        w2c = self.w2c if self.w2c.ndim == 2 else self.w2c[frame_idx]
+        return np.linalg.inv(w2c)
 
     def frame_fovs(self, idx: int) -> Dict[str, float]:
         H, W = self.image_size
@@ -219,6 +223,129 @@ def load_sequence(dataroot: str) -> AvatarDataset:
         train_idx=train,
         val_idx=val,
         test_idx=test,
+    )
+
+
+def circle_poses(
+    radius: np.ndarray, theta_deg: np.ndarray, phi_deg: np.ndarray
+) -> np.ndarray:
+    """Camera-to-world poses on a sphere (FS dataset camera rig,
+    ``uncond_multiview.py:1380``): OpenGL look-at toward the origin, up +y."""
+    th = np.deg2rad(theta_deg)
+    ph = np.deg2rad(phi_deg)
+    pos = np.stack(
+        [
+            radius * np.sin(th) * np.sin(ph),
+            radius * np.cos(th),
+            radius * np.sin(th) * np.cos(ph),
+        ],
+        -1,
+    )
+    c2ws = []
+    for p in pos:
+        z = -p / np.linalg.norm(p)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(z, up)
+        x = x / max(np.linalg.norm(x), 1e-8)
+        y = np.cross(x, z)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.stack([x, y, -z], -1)
+        c2w[:3, 3] = p
+        c2ws.append(c2w)
+    return np.stack(c2ws)
+
+
+def load_fs_sequence(
+    dataroot: str,
+    radius: float = 3.2,
+    theta_deg: float = 90.0,
+    fov_deg: float = 20.0,
+    train_views: Tuple[int, ...] = (0, 4),
+) -> AvatarDataset:
+    """Few-shot synthetic ("FS" / xhumans) layout
+    (``FSRandomMultiviewCameraIterableDataset``, ``uncond_multiview.py:
+    1225-1824``): ``basecolor/ mask/ normal/`` dirs, fixed circle-pose camera
+    rig (fov 20°, 1024², per-view extrinsics), world-space normal maps
+    rotated into each camera frame, and a HARD-CODED 2-view train split
+    ([0, 4], ``:1255``)."""
+    img_list = sorted(glob(os.path.join(dataroot, "basecolor", "*.png")))
+    mask_list = sorted(glob(os.path.join(dataroot, "mask", "*.png")))
+    normal_list = sorted(glob(os.path.join(dataroot, "normal", "*.png")))
+    if not img_list:
+        raise FileNotFoundError(f"no images under {dataroot}/basecolor")
+    F = len(img_list)
+
+    imgs, masks, normals, nmasks = [], [], [], []
+    for i in range(F):
+        img = _imread(img_list[i])
+        if img.shape[-1] == 4:
+            mask = (img[..., 3] > 0).astype(np.float32)
+            img = img[..., :3]
+        else:
+            m = _imread(mask_list[i])
+            mask = ((m[..., 0] if m.ndim == 3 else m) > 0).astype(np.float32)
+        imgs.append(_bgr2rgb(img).astype(np.float32) / 255.0 * mask[..., None])
+        masks.append(mask)
+        nrm = _imread(normal_list[i])
+        nmask = (
+            nrm[..., 3].astype(np.float32) / 255.0 if nrm.shape[-1] == 4 else mask
+        )
+        normals.append(_bgr2rgb(nrm[..., :3]).astype(np.float32) / 255.0)
+        nmasks.append(nmask)
+
+    images = np.stack(imgs)
+    H, W = images.shape[1:3]
+    phis = np.arange(F) / F * 360.0
+    c2w = circle_poses(
+        np.full(F, radius), np.full(F, theta_deg), phis
+    )
+    w2c = np.linalg.inv(c2w).astype(np.float32)
+
+    focal = H / (2 * np.tan(np.deg2rad(fov_deg) / 2))
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    Ks = np.tile(K[None], (F, 1, 1))
+    normal_Ks = Ks / 2.0
+    normal_Ks[:, 2, 2] = 1.0
+
+    # Rotate world-space normals into each camera frame (``:1389-1398``).
+    nfs = []
+    for i in range(F):
+        n = normals[i] * 2.0 - 1.0
+        nl = n.reshape(-1, 3) @ w2c[i][:3, :3].T
+        nl = nl / np.maximum(np.linalg.norm(nl, axis=-1, keepdims=True), 1e-8)
+        nl = (nl.reshape(n.shape) + 1.0) / 2.0
+        nfs.append(nl * nmasks[i][..., None])
+
+    smpl_path = os.path.join(dataroot, "smplx", "params.pth")
+    smpl_params = (
+        _load_params_pth(smpl_path) if os.path.exists(smpl_path) else {}
+    )
+    for k in ("Ks", "w2c", "normal_Ks", "img_wh"):
+        smpl_params.pop(k, None)
+
+    crops_i, crops_m = [], []
+    for img, mask in zip(images, np.stack(masks)):
+        ci, cm = bbox_crop_512(img, mask)
+        crops_i.append(ci)
+        crops_m.append(cm)
+
+    all_idx = list(range(F))
+    held = [i for i in all_idx if i not in train_views]
+    return AvatarDataset(
+        images=images,
+        masks=np.stack(masks),
+        normal_F=np.stack(nfs),
+        normal_B=np.zeros_like(np.stack(nfs)),  # FS has no back normals
+        normal_mask=np.stack(nmasks),
+        images_crop=np.stack(crops_i),
+        masks_crop=np.stack(crops_m),
+        smpl_params={k: np.asarray(v, np.float32) for k, v in smpl_params.items()},
+        w2c=w2c,
+        Ks=Ks,
+        normal_Ks=normal_Ks,
+        train_idx=list(train_views),
+        val_idx=held[len(held) // 2 :],
+        test_idx=held[: len(held) // 2],
     )
 
 

@@ -331,7 +331,7 @@ def make_gt_batch(ds, model: AvatarModel, frame_idx: int) -> Dict:
     (``uncond_multiview.py:635-681``) reduced to what the step consumes."""
     H, W = ds.image_size
     fov = ds.frame_fovs(frame_idx)
-    c2w = jnp.asarray(ds.gt_c2w())
+    c2w = jnp.asarray(ds.gt_c2w(frame_idx))
 
     # GT RGB camera: principal point enters via prcppoint (projection built
     # without cxcy), matching ``gaussian_batch_renderer.py:29-37, 59-83``.
