@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--eval", action="store_true", help="run test split at end")
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--dump-every", type=int, default=250)
+    ap.add_argument("--val-every", type=int, default=250)
+    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--trace-steps", type=int, default=0,
+                    help="capture a jax.profiler trace for the first N steps")
     args = ap.parse_args(argv)
 
     import jax
@@ -130,17 +135,67 @@ def main(argv=None):
                 has_normals=has_normals,
             )
         )
+        from ..avatar import RenderSettings, render_view
+        from ..train.observe import MetricLogger, StepTimer, dump_debug_images, profile_trace
+
+        logger = MetricLogger(args.out, use_wandb=args.wandb)
+        timer = StepTimer()
+        dump_settings = RenderSettings(
+            use_explicit=args.use_explicit, raster=raster
+        )
+
         key = jax.random.PRNGKey(args.seed + st)
         rng = np.random.RandomState(args.seed + st)
         t0 = time.time()
+        trace_ctx = (
+            profile_trace(os.path.join(args.out, "trace"))
+            if args.trace_steps > 0 and st == 0
+            else None
+        )
+        if trace_ctx:
+            trace_ctx.__enter__()
         for it in range(args.steps):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
-            batch = make_gt_batch(ds, model, frame)
-            state, metrics = step_fn(state, batch, k1)
+            with timer.phase("batch"):
+                batch = make_gt_batch(ds, model, frame)
+            with timer.phase("step"):
+                state, metrics = step_fn(state, batch, k1)
+            if trace_ctx and it + 1 == args.trace_steps:
+                trace_ctx.__exit__(None, None, None)
+                trace_ctx = None
             if it % args.log_every == 0 or it == args.steps - 1:
                 m = {k: round(float(v), 5) for k, v in metrics.items()}
+                logger.log(it + st * args.steps, m)
+                m["sec_per_step"] = round(
+                    timer.summary().get("step", 0.0), 3
+                )
                 print(f"stage {st} it {it} ({time.time()-t0:.1f}s):", json.dumps(m))
+            if args.dump_every > 0 and it > 0 and it % args.dump_every == 0:
+                out_dbg = render_view(
+                    state.params, model, batch["gt_cam"], ds.image_size,
+                    jnp.ones(3), batch["frame_idx"], dump_settings,
+                )
+                dump_debug_images(
+                    args.out, it, out_dbg,
+                    gt={"rgb": ds.images[frame], "mask": ds.masks[frame]},
+                )
+            if args.val_every > 0 and it > 0 and it % args.val_every == 0 and (
+                ds.val_idx or ds.test_idx
+            ):
+                vidx = (ds.val_idx or ds.test_idx)[0]
+                vb = make_gt_batch(ds, model, vidx)
+                vout = render_view(
+                    state.params, model, vb["gt_cam"], ds.image_size,
+                    jnp.ones(3), vb["frame_idx"], dump_settings,
+                )
+                dump_debug_images(
+                    os.path.join(args.out, "val"), it, vout,
+                    gt={"rgb": ds.images[vidx]},
+                )
+        if trace_ctx:
+            trace_ctx.__exit__(None, None, None)
+        logger.close()
         params = state.params
         ckpt = os.path.join(args.out, f"stage{st}")
         save_avatar(ckpt, params, step=args.steps)
