@@ -48,6 +48,36 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
     return {k: data[:, i].copy() for i, k in enumerate(names)}
 
 
+def ply_to_avatar(path: str, like):
+    """Load surfel params exported by :func:`avatar_to_ply` (or a reference
+    PLY with the same property names, ``gaussian_io.py:86-174``) into an
+    AvatarParams pytree shaped like ``like`` (field/latent untouched)."""
+    import jax.numpy as jnp
+
+    props = read_ply(path)
+    n = len(props["x"])
+    xyz = np.stack([props["x"], props["y"], props["z"]], -1)
+    colors = np.stack(
+        [props[k] for k in sorted(p for p in props if p.startswith("f_dc_"))], -1
+    )
+    scaling = np.stack(
+        [props[k] for k in sorted(p for p in props if p.startswith("scale_"))], -1
+    )
+    rotation = np.stack(
+        [props[k] for k in sorted(p for p in props if p.startswith("rot_"))], -1
+    )
+    out = like._replace(
+        xyz=jnp.asarray(xyz),
+        colors=jnp.asarray(colors[:, : like.colors.shape[-1]]),
+        scaling=jnp.asarray(scaling[:, : like.scaling.shape[-1]]),
+        rotation=jnp.asarray(rotation),
+        opacity=jnp.asarray(props["opacity"][:, None]),
+    )
+    if "occ" in props:
+        out = out._replace(occ=jnp.asarray(props["occ"][:, None]))
+    return out
+
+
 def avatar_to_ply(path: str, params, include_normals: bool = True) -> None:
     """Export surfel params in the reference's attribute order
     (``surfel_base.py:697-746``)."""

@@ -1,0 +1,41 @@
+import numpy as np
+
+from soar_tpu.train.yaml_config import load_yaml_config
+
+
+def test_load_stage0_config():
+    cfg = load_yaml_config("configs/surfel_stage0.yaml")
+    assert cfg["stage"].training_stage == 0
+    assert cfg["stage"].max_steps == 1000
+    assert cfg["stage"].loss.mask == 1.0
+    assert cfg["stage"].loss.curv == 0.5
+    assert cfg["stage"].max_step_percent == (0, 0.75, 0.25, 2000)
+    assert cfg["train"].n_views == 4
+    assert cfg["train"].optim.occ_lr == 0.1
+    assert cfg["guidance"].recon_std_rescale == 0.2
+
+
+def test_load_stage1_diffs():
+    c0 = load_yaml_config("configs/surfel_stage0.yaml")
+    c1 = load_yaml_config("configs/surfel_stage1.yaml")
+    assert c1["stage"].training_stage == 1
+    assert c1["stage"].loss.mask == 10.0
+    assert c1["stage"].max_step_percent[-1] == 1000
+    assert c1["stage"].sds_start == 0 and c0["stage"].sds_start == 500
+
+
+def test_ply_init_roundtrip(tmp_path):
+    import os.path as osp
+
+    import jax.numpy as jnp
+
+    from soar_tpu.io.ply import avatar_to_ply, ply_to_avatar
+    from tests.test_io import _tiny_avatar
+
+    params, _ = _tiny_avatar()
+    p = osp.join(str(tmp_path), "a.ply")
+    avatar_to_ply(p, params)
+    back = ply_to_avatar(p, params)
+    np.testing.assert_allclose(back.xyz, params.xyz, atol=1e-6)
+    np.testing.assert_allclose(back.rotation, params.rotation, atol=1e-6)
+    np.testing.assert_allclose(back.occ, params.occ, atol=1e-6)
