@@ -233,6 +233,49 @@ def load_smplx_npz(
     )
 
 
+def load_smpl_pkl(path: str, num_betas: int = 10) -> BodyModel:
+    """Load a legacy SMPL ``.pkl`` (basicModel_*_lbs_10_207_0_v1.0.0.pkl).
+
+    These pickles contain chumpy arrays; we coerce anything array-like via
+    ``np.array``.  Supports the reference's SMPL path (``utils/smpl.py:
+    182-291`` insav_wild branch).  SMPL has 24 joints and no expression dirs.
+    """
+    import pickle
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"SMPL model file not found: {path} (download from "
+            "https://smpl.is.tue.mpg.de/; proprietary, not vendored)"
+        )
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+
+    def arr(x, dtype=np.float32):
+        if hasattr(x, "toarray"):  # scipy sparse J_regressor
+            x = x.toarray()
+        return np.array(x, dtype=dtype)
+
+    v_template = arr(data["v_template"])
+    shapedirs = arr(data["shapedirs"])[..., :num_betas]
+    posedirs = arr(data["posedirs"])
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
+    J_regressor = arr(data["J_regressor"])
+    weights = arr(data["weights"])
+    parents = np.asarray(data["kintree_table"], np.int64)[0]
+    parents[0] = -1
+    faces = np.asarray(data["f"], np.int32)
+    return BodyModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        J_regressor=jnp.asarray(J_regressor),
+        lbs_weights=jnp.asarray(weights),
+        parents=tuple(int(p) for p in parents),
+        faces=jnp.asarray(faces),
+        num_betas=num_betas,
+    )
+
+
 def make_test_body(
     num_joints: int = 5,
     segments_per_bone: int = 4,
