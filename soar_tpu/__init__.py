@@ -22,3 +22,32 @@ see SURVEY.md at the repository root.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (override dir with
+    SOAR_TPU_COMPILE_CACHE; disable with SOAR_TPU_COMPILE_CACHE=0).
+
+    The TPU backend compiles the rasterizer's sort-heavy graphs slowly
+    (~20 s per sort instance over the remote-compile transport); the cache
+    makes every run after the first start instantly.
+    """
+    import os
+
+    cache = os.environ.get(
+        "SOAR_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/soar_tpu_xla"),
+    )
+    if cache == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

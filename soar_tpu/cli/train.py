@@ -42,6 +42,13 @@ def main(argv=None):
     ap.add_argument("--dump-every", type=int, default=250)
     ap.add_argument("--val-every", type=int, default=250)
     ap.add_argument("--wandb", action="store_true")
+    ap.add_argument(
+        "--lpips-weights",
+        type=str,
+        default=None,
+        help="converted LPIPS-VGG16 pickle (see train/lpips.py); enables "
+        "the normal-LPIPS and vgg loss terms and the LPIPS eval metric",
+    )
     ap.add_argument("--trace-steps", type=int, default=0,
                     help="capture a jax.profiler trace for the first N steps")
     args = ap.parse_args(argv)
@@ -104,6 +111,13 @@ def main(argv=None):
     has_normals = bool(getattr(ds, "normal_F", np.zeros(0)).size)
     raster = RasterConfig()
 
+    from ..train.lpips import load_lpips, make_lpips_fn
+
+    lpips_fn = make_lpips_fn(args.lpips_weights)
+    if args.lpips_weights and lpips_fn is None:
+        print(f"warning: LPIPS weights not found at {args.lpips_weights}; "
+              "LPIPS terms disabled")
+
     stages = {"0": [0], "1": [1], "both": [0, 1]}[args.stage]
     for st in stages:
         stage_cfg = (
@@ -133,6 +147,7 @@ def main(argv=None):
                 raster=raster,
                 use_explicit=args.use_explicit,
                 has_normals=has_normals,
+                lpips_fn=lpips_fn,
             )
         )
         from ..avatar import RenderSettings, render_view
@@ -210,6 +225,7 @@ def main(argv=None):
             ds,
             save_dir=os.path.join(args.out, "test"),
             settings=RenderSettings(use_explicit=args.use_explicit, raster=raster),
+            lpips_fn=load_lpips(args.lpips_weights),
         )
         print("eval:", json.dumps(res))
 

@@ -90,10 +90,16 @@ def convert_lpips_params(vgg_sd: Dict, lpips_sd: Dict) -> Dict:
     return {"params": p}
 
 
-def load_lpips(path: Optional[str] = None):
-    """Returns lpips_fn(img0_01, img1_01) -> float, or None if weights are
-    unavailable (callers treat None as 'LPIPS disabled')."""
-    if path is None or not __import__("os").path.exists(path or ""):
+def make_lpips_fn(path: Optional[str] = None):
+    """Returns a JITTABLE, differentiable distance fn
+    ``(img0, img1) -> scalar`` over ``[H, W, 3]`` images in **[-1, 1]**
+    (the lpips package's input convention), or None if the converted
+    weights file is absent.  Used as the trainer's ``lpips_fn`` hook for
+    the normal-LPIPS and VGG-RGB loss terms
+    (``gaussian_surfel_mvdream.py:342-410``)."""
+    import os
+
+    if path is None or not os.path.exists(path):
         return None
     import pickle
 
@@ -101,9 +107,24 @@ def load_lpips(path: Optional[str] = None):
         variables = pickle.load(f)
     net = LPIPS()
 
+    def fn(a, b):
+        return net.apply(variables, a[None], b[None])[0]
+
+    return fn
+
+
+def load_lpips(path: Optional[str] = None):
+    """Returns lpips_fn(img0_01, img1_01) -> float, or None if weights are
+    unavailable (callers treat None as 'LPIPS disabled'). Host-side wrapper
+    of :func:`make_lpips_fn` for the eval protocol."""
+    raw = make_lpips_fn(path)
+    if raw is None:
+        return None
+    jfn = jax.jit(raw)
+
     def fn(a01, b01):
-        a = jnp.asarray(a01)[None] * 2.0 - 1.0
-        b = jnp.asarray(b01)[None] * 2.0 - 1.0
-        return float(net.apply(variables, a, b)[0])
+        a = jnp.asarray(a01) * 2.0 - 1.0
+        b = jnp.asarray(b01) * 2.0 - 1.0
+        return float(jfn(a, b))
 
     return fn

@@ -1,0 +1,122 @@
+"""LPIPS-VGG16 flax port + its trainer hook.
+
+Real LPIPS weights are converter-gated (no egress); these tests exercise the
+architecture and the loss plumbing with randomly initialized parameters —
+identical inputs must score 0 and the jitted train step must stay finite
+with the LPIPS terms enabled.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soar_tpu.avatar import init_avatar
+from soar_tpu.body import make_test_body
+from soar_tpu.data.dataset import make_synthetic_sequence
+from soar_tpu.field.attribute_field import AttributeFieldConfig
+from soar_tpu.field.hashgrid import HashGridConfig
+from soar_tpu.render.types import RasterConfig
+from soar_tpu.train.config import LossWeights, StageConfig, TrainConfig
+from soar_tpu.train.lpips import LPIPS, convert_lpips_params
+from soar_tpu.train.trainer import (
+    init_train_state,
+    make_gt_batch,
+    make_train_step,
+)
+
+TINY_FIELD = AttributeFieldConfig(
+    grid=HashGridConfig(num_levels=4, min_res=4, max_res=64, log2_hashmap_size=12),
+    hidden_dim=16,
+)
+
+
+def _random_lpips():
+    net = LPIPS()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = net.init(jax.random.PRNGKey(0), x, x)
+    return net, variables
+
+
+def test_lpips_identity_and_symmetry():
+    net, variables = _random_lpips()
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)) * 2 - 1
+    b = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)) * 2 - 1
+    d_aa = float(net.apply(variables, a, a)[0])
+    d_ab = float(net.apply(variables, a, b)[0])
+    d_ba = float(net.apply(variables, b, a)[0])
+    assert d_aa == 0.0
+    assert d_ab > 0.0
+    assert abs(d_ab - d_ba) < 1e-5
+
+
+def test_lpips_converter_shapes():
+    # Fake torch-style state dicts with the right shapes round-trip through
+    # the converter and drive the network.
+    cfg = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    torch_layers = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    rng = np.random.RandomState(1)
+    vgg_sd, cin = {}, 3
+    for tl, cout in zip(torch_layers, cfg):
+        vgg_sd[f"features.{tl}.weight"] = rng.randn(cout, cin, 3, 3).astype(
+            np.float32
+        ) * 0.05
+        vgg_sd[f"features.{tl}.bias"] = np.zeros(cout, np.float32)
+        cin = cout
+    chs = [64, 128, 256, 512, 512]
+    lpips_sd = {
+        f"lin{i}.model.1.weight": rng.rand(1, c, 1, 1).astype(np.float32)
+        for i, c in enumerate(chs)
+    }
+    variables = convert_lpips_params(vgg_sd, lpips_sd)
+    net = LPIPS()
+    a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    d = net.apply(variables, a, -a)
+    assert np.isfinite(float(d[0]))
+
+
+def test_train_step_with_lpips_terms():
+    ds, _ = make_synthetic_sequence(num_frames=4, image_size=(96, 96))
+    body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+        num_subdiv=1,
+        field_cfg=TINY_FIELD,
+        distill_steps=0,
+    )
+    net, variables = _random_lpips()
+
+    def lpips_fn(a, b):
+        return net.apply(variables, a[None], b[None])[0]
+
+    cfg = TrainConfig(n_views=2)
+    stage = StageConfig(
+        training_stage=0,
+        loss=LossWeights(
+            normal_F=0.0, normal_B=0.0, normal_mask=0.0, vgg=0.1
+        ),
+    )
+    state, opt = init_train_state(params, model, cfg)
+    step_fn = jax.jit(
+        make_train_step(
+            model,
+            cfg,
+            stage,
+            opt,
+            gen_size=(64, 64),
+            gt_size=(96, 96),
+            normal_size=(64, 64),
+            raster=RasterConfig(max_per_tile=64, dup_side=3),
+            use_explicit=True,
+            has_normals=False,
+            lpips_fn=lpips_fn,
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    batch = make_gt_batch(ds, model, ds.train_idx[0])
+    state, metrics = step_fn(state, batch, key)
+    state, metrics = step_fn(state, batch, key)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_vgg"]))
+    assert float(metrics["loss_vgg"]) > 0.0
