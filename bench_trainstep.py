@@ -85,7 +85,10 @@ def main():
             raster=RasterConfig(max_per_tile=96, dup_side=3),
             use_explicit=False,
             has_normals=True,
-        )
+        ),
+        # NOTE: donate_argnums=(0,) would halve state memory, but the axon
+        # remote transport host-copies donated buffers and races their
+        # deletion ("Array has been deleted"); leave undonated here.
     )
 
     key = jax.random.PRNGKey(0)

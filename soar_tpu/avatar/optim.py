@@ -69,6 +69,13 @@ def _field_group_labels(field: Dict) -> Dict:
 
 
 def make_optimizer(params: AvatarParams, cfg: OptimConfig):
+    """Per-group Adam as ONE ``scale_by_adam`` + per-leaf LR scaling.
+
+    Mathematically identical to per-group Adam instances (moments and bias
+    correction are per-leaf, and every group updates every step), but it
+    avoids ``optax.multi_transform`` — whose 11 masked sub-transforms over
+    this pytree (two ~270 MB hash tables among the leaves) lower to a
+    measured ~4 s/step XLA program on TPU vs ~30 ms for the fused form."""
     xyz_sched = expon_lr_schedule(
         lr_init=cfg.position_lr_init * cfg.spatial_lr_scale,
         lr_final=cfg.position_lr_final * cfg.spatial_lr_scale,
@@ -76,23 +83,19 @@ def make_optimizer(params: AvatarParams, cfg: OptimConfig):
         max_steps=cfg.position_lr_max_steps,
     )
 
-    def adam(lr):
-        return optax.adam(lr, b1=0.9, b2=0.999, eps=cfg.eps)
-
-    transforms = {
-        "xyz": optax.adam(xyz_sched, eps=cfg.eps),
-        "color": adam(cfg.feature_lr),
-        "opacity": adam(cfg.opacity_lr),
-        "scaling": adam(cfg.scaling_lr),
-        "rotation": adam(cfg.rotation_lr),
-        "occ": adam(cfg.occ_lr),
-        "field": adam(cfg.field_lr),
-        "field_scales": adam(cfg.field_lr * 10.0),
-        "field_offsets": adam(cfg.field_lr * 0.01),
-        "latent_pose": adam(cfg.latent_pose_lr),
-        "frozen": optax.set_to_zero(),
+    group_lrs = {
+        "xyz": None,  # scheduled per step
+        "color": cfg.feature_lr,
+        "opacity": cfg.opacity_lr,
+        "scaling": cfg.scaling_lr,
+        "rotation": cfg.rotation_lr,
+        "occ": cfg.occ_lr,
+        "field": cfg.field_lr,
+        "field_scales": cfg.field_lr * 10.0,
+        "field_offsets": cfg.field_lr * 0.01,
+        "latent_pose": cfg.latent_pose_lr,
+        "frozen": 0.0,
     }
-
     labels = AvatarParams(
         xyz="xyz",
         rotation="rotation",
@@ -103,4 +106,22 @@ def make_optimizer(params: AvatarParams, cfg: OptimConfig):
         field=_field_group_labels(params.field),
         latent_pose="latent_pose",
     )
-    return optax.multi_transform(transforms, labels)
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=cfg.eps)
+
+    def init(params):
+        return adam.init(params)
+
+    def update(grads, state, params=None):
+        updates, state = adam.update(grads, state, params)
+        xyz_lr = xyz_sched(state.count - 1)  # count was just incremented
+
+        def scale(u, label):
+            lr = xyz_lr if label == "xyz" else group_lrs[label]
+            return u * (-lr)
+
+        # labels mirrors the params structure with string leaves, so plain
+        # tree_map pairs each update leaf with its group name.
+        updates = jax.tree_util.tree_map(scale, updates, labels)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
