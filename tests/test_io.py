@@ -63,3 +63,47 @@ def test_avatar_to_ply(tmp_path):
     back = read_ply(path)
     np.testing.assert_allclose(back["x"], np.asarray(params.xyz[:, 0]), atol=1e-6)
     assert "rot_3" in back and "occ" in back
+
+
+def test_import_reference_ckpt(tmp_path):
+    """A torch Lightning-style state_dict with the reference's geometry.*
+    keys (``surfel_base.py:546-567``) maps onto AvatarParams fields."""
+    import torch
+
+    from soar_tpu.io.checkpoint import import_reference_ckpt
+
+    params, _ = _tiny_avatar()
+    n = int(params.xyz.shape[0])
+    rng = np.random.RandomState(0)
+    sd = {
+        "geometry._xyz": torch.tensor(rng.randn(n, 3), dtype=torch.float32),
+        "geometry._rotation": torch.tensor(rng.randn(n, 4), dtype=torch.float32),
+        "geometry._scaling": torch.tensor(rng.randn(n, 1), dtype=torch.float32),
+        "geometry._opacity": torch.tensor(rng.randn(n, 1), dtype=torch.float32),
+        "geometry._colors": torch.tensor(rng.rand(n, 3), dtype=torch.float32),
+        "geometry._occ": torch.tensor(rng.rand(n, 1), dtype=torch.float32),
+        "geometry.latent_pose": torch.tensor(
+            rng.randn(*params.latent_pose.shape), dtype=torch.float32
+        ),
+        "guidance.some_unrelated": torch.zeros(3),
+    }
+    p = tmp_path / "ref.ckpt"
+    torch.save({"state_dict": sd, "epoch": 0}, str(p))
+
+    mapped = import_reference_ckpt(str(p))
+    assert set(mapped) == {
+        "xyz", "rotation", "scaling", "opacity", "colors", "occ", "latent_pose"
+    }
+    np.testing.assert_allclose(mapped["xyz"], sd["geometry._xyz"].numpy())
+    merged = params._replace(**{k: jnp.asarray(v) for k, v in mapped.items()})
+    assert merged.xyz.shape == params.xyz.shape
+
+    # Partial checkpoints warn but still return what they have.
+    import warnings
+
+    torch.save({"state_dict": {"geometry._xyz": sd["geometry._xyz"]}}, str(p))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mapped = import_reference_ckpt(str(p))
+    assert set(mapped) == {"xyz"}
+    assert any("missing keys" in str(x.message) for x in w)

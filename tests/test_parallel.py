@@ -1,0 +1,121 @@
+"""Sharded-vs-single-device equivalence of the training step.
+
+The multi-chip story (SURVEY §2.5 TPU-native plan) is: replicate surfel
+state, shard the gen-view axis over a 1-D mesh, let GSPMD insert the
+gradient all-reduce.  These tests pin that the sharded step computes the
+SAME update as the unsharded one (same key -> same cameras -> identical
+math, modulo f32 reduction order)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soar_tpu.avatar import init_avatar
+from soar_tpu.body import make_test_body
+from soar_tpu.data.dataset import make_synthetic_sequence
+from soar_tpu.field.attribute_field import AttributeFieldConfig
+from soar_tpu.field.hashgrid import HashGridConfig
+from soar_tpu.parallel import make_view_mesh, replicate, view_sharder
+from soar_tpu.render.types import RasterConfig
+from soar_tpu.train.config import LossWeights, StageConfig, TrainConfig
+from soar_tpu.train.trainer import (
+    init_train_state,
+    make_gt_batch,
+    make_train_step,
+)
+
+N_DEV = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds, _ = make_synthetic_sequence(num_frames=2, image_size=(48, 48))
+    body = make_test_body(num_joints=4, segments_per_bone=2, ring=6)
+    fc = AttributeFieldConfig(
+        grid=HashGridConfig(
+            num_levels=2, min_res=4, max_res=16, log2_hashmap_size=10
+        ),
+        hidden_dim=8,
+    )
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+        num_subdiv=0,
+        field_cfg=fc,
+        distill_steps=0,
+    )
+    return ds, params, model
+
+
+def _make_step(model, opt, shard_views=None):
+    cfg = TrainConfig(n_views=N_DEV)
+    stage = StageConfig(
+        training_stage=0,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    return make_train_step(
+        model,
+        cfg,
+        stage,
+        opt,
+        gen_size=(32, 32),
+        gt_size=(48, 48),
+        normal_size=(32, 32),
+        raster=RasterConfig(max_per_tile=32, dup_side=3),
+        use_explicit=True,
+        has_normals=False,
+        n_views=N_DEV,
+        shard_views=shard_views,
+    )
+
+
+def test_sharded_step_matches_unsharded(setup):
+    ds, params, model = setup
+    assert len(jax.devices()) >= N_DEV, "conftest must force 8 CPU devices"
+
+    cfg = TrainConfig(n_views=N_DEV)
+    state0, opt = init_train_state(params, model, cfg)
+    batch = make_gt_batch(ds, model, ds.train_idx[0])
+    key = jax.random.PRNGKey(3)
+
+    # Single-device (unrolled) step.
+    step_single = jax.jit(_make_step(model, opt))
+    s1, m1 = step_single(state0, batch, key)
+
+    # Sharded (vmapped + GSPMD) step over a 4-device mesh.
+    mesh = make_view_mesh(jax.devices()[:N_DEV])
+    step_sharded = jax.jit(_make_step(model, opt, view_sharder(mesh)))
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        st = replicate(mesh, state0)
+        bt = replicate(mesh, batch)
+        kt = replicate(mesh, key)
+        s2, m2 = step_sharded(st, bt, kt)
+
+    assert np.isfinite(float(m2["loss"]))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )
+    # Updated parameters agree (f32 reduction-order tolerance).
+    np.testing.assert_allclose(
+        np.asarray(s1.params.xyz), np.asarray(s2.params.xyz), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.params.colors), np.asarray(s2.params.colors), atol=1e-5
+    )
+
+
+def test_gen_views_actually_sharded(setup):
+    """The rendered gen batch must land sharded over the view axis, not
+    replicated (catches a silently-ignored sharding constraint)."""
+    ds, params, model = setup
+    mesh = make_view_mesh(jax.devices()[:N_DEV])
+    sharder = view_sharder(mesh)
+
+    x = jnp.zeros((N_DEV, 8, 8, 3))
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        y = jax.jit(lambda a: sharder(a) * 2.0)(replicate(mesh, x))
+    shard_shapes = {s.data.shape for s in y.addressable_shards}
+    assert shard_shapes == {(1, 8, 8, 3)}, shard_shapes
