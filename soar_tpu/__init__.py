@@ -46,8 +46,13 @@ def _enable_compilation_cache():
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:  # unwritable dir, renamed config key, ...
+        import warnings
+
+        warnings.warn(
+            f"soar_tpu: persistent compile cache disabled ({e!r}); "
+            "set SOAR_TPU_COMPILE_CACHE to a writable dir or 0 to silence"
+        )
 
 
 _enable_compilation_cache()

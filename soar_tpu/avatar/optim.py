@@ -116,6 +116,10 @@ def make_optimizer(params: AvatarParams, cfg: OptimConfig):
         xyz_lr = xyz_sched(state.count - 1)  # count was just incremented
 
         def scale(u, label):
+            if label == "frozen":
+                # exact zeros (not u * 0.0): a NaN/Inf gradient on a frozen
+                # leaf must never propagate into the parameter.
+                return jnp.zeros_like(u)
             lr = xyz_lr if label == "xyz" else group_lrs[label]
             return u * (-lr)
 

@@ -98,34 +98,20 @@ def main(argv=None):
     from ..io.checkpoint import load_avatar
 
     if args.synthetic:
-        # num_frames matches ``cli.train --synthetic`` (per-frame latent_pose
-        # is part of the checkpoint, so frame count must agree).
-        ds, (gt_params, gt_model) = make_synthetic_sequence(
-            num_frames=8, image_size=(128, 128)
-        )
         if not args.ckpt:
             # Render the fixture's own params/model (known coloring).
+            ds, (gt_params, gt_model) = make_synthetic_sequence(
+                num_frames=8, image_size=(128, 128)
+            )
             run_turntable(
                 args.out, ds, gt_params, gt_model, True, args.num_views
             )
             return
-        # Rebuild the avatar exactly as ``cli.train --synthetic`` does so its
-        # checkpoints round-trip here (same body / field capacity / subdiv).
-        from ..body import make_test_body
-        from ..field.hashgrid import HashGridConfig
+        # The ONE shared synthetic-avatar construction — must match
+        # ``cli.train --synthetic`` or checkpoints stop round-tripping.
+        from .common import synthetic_setup
 
-        body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
-        params, model = init_avatar(
-            body,
-            {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
-            num_subdiv=1,
-            field_cfg=AttributeFieldConfig(
-                grid=HashGridConfig(
-                    num_levels=8, min_res=8, max_res=256, log2_hashmap_size=14
-                )
-            ),
-            distill_steps=0,
-        )
+        ds, params, model = synthetic_setup(distill_steps=0)
     else:
         from ..body.model import load_smplx_npz
 

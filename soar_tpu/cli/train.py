@@ -47,7 +47,15 @@ def main(argv=None):
         type=str,
         default=None,
         help="converted LPIPS-VGG16 pickle (see train/lpips.py); enables "
-        "the normal-LPIPS and vgg loss terms and the LPIPS eval metric",
+        "the normal-LPIPS terms and the LPIPS eval metric (the vgg RGB "
+        "term additionally needs --lambda-vgg > 0)",
+    )
+    ap.add_argument(
+        "--lambda-vgg",
+        type=float,
+        default=0.0,
+        help="weight of the VGG/LPIPS RGB loss (reference _fs configs use "
+        "0.1); requires --lpips-weights",
     )
     ap.add_argument("--trace-steps", type=int, default=0,
                     help="capture a jax.profiler trace for the first N steps")
@@ -59,9 +67,8 @@ def main(argv=None):
 
     from ..avatar import init_avatar
     from ..avatar.state import AvatarParams
-    from ..data.dataset import load_sequence, make_synthetic_sequence
+    from ..data.dataset import load_sequence
     from ..field.attribute_field import AttributeFieldConfig
-    from ..field.hashgrid import HashGridConfig
     from ..io.checkpoint import load_avatar, save_avatar
     from ..render.types import RasterConfig
     from ..train.config import StageConfig, TrainConfig, stage1_config
@@ -71,16 +78,9 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     if args.synthetic:
-        from ..body import make_test_body
+        from .common import synthetic_setup
 
-        ds, _ = make_synthetic_sequence(num_frames=8, image_size=(128, 128))
-        body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
-        field_cfg = AttributeFieldConfig(
-            grid=HashGridConfig(
-                num_levels=8, min_res=8, max_res=256, log2_hashmap_size=14
-            )
-        )
-        num_subdiv = 1
+        ds, params, model = synthetic_setup(distill_steps=100, seed=args.seed)
         gen_size = (128, 128)
         normal_size = (128, 128)
     else:
@@ -91,18 +91,16 @@ def main(argv=None):
         ds = load_sequence(args.dataroot)
         body = load_smplx_npz(args.smpl_model)
         field_cfg = AttributeFieldConfig()
-        num_subdiv = args.num_subdiv
         gen_size = (512, 512)
         normal_size = (512, 512)
-
-    params, model = init_avatar(
-        body,
-        {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
-        num_subdiv=num_subdiv,
-        field_cfg=field_cfg,
-        seed=args.seed,
-        distill_steps=1000 if not args.synthetic else 100,
-    )
+        params, model = init_avatar(
+            body,
+            {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+            num_subdiv=args.num_subdiv,
+            field_cfg=field_cfg,
+            seed=args.seed,
+            distill_steps=1000,
+        )
     if args.resume:
         params, start_step = load_avatar(args.resume, params)
         print(f"resumed from {args.resume} @ step {start_step}")
@@ -111,12 +109,25 @@ def main(argv=None):
     has_normals = bool(getattr(ds, "normal_F", np.zeros(0)).size)
     raster = RasterConfig()
 
-    from ..train.lpips import load_lpips, make_lpips_fn
+    from ..train.lpips import make_lpips_fn
 
     lpips_fn = make_lpips_fn(args.lpips_weights)
     if args.lpips_weights and lpips_fn is None:
         print(f"warning: LPIPS weights not found at {args.lpips_weights}; "
               "LPIPS terms disabled")
+
+    eval_lpips = None
+    if lpips_fn is not None:
+        # Host-side eval wrapper over the SAME weights (avoid re-reading the
+        # pickle via load_lpips); eval protocol feeds [0,1] images.
+        _lpips_jit = jax.jit(lpips_fn)
+
+        def eval_lpips(a01, b01):
+            return float(
+                _lpips_jit(
+                    jnp.asarray(a01) * 2.0 - 1.0, jnp.asarray(b01) * 2.0 - 1.0
+                )
+            )
 
     stages = {"0": [0], "1": [1], "both": [0, 1]}[args.stage]
     for st in stages:
@@ -125,14 +136,18 @@ def main(argv=None):
             if st == 0
             else stage1_config(args.steps)
         )
-        if not has_normals:
-            import dataclasses as dc
+        import dataclasses as dc
 
+        if not has_normals:
             stage_cfg = dc.replace(
                 stage_cfg,
                 loss=dc.replace(
                     stage_cfg.loss, normal_F=0.0, normal_B=0.0, normal_mask=0.0
                 ),
+            )
+        if args.lambda_vgg > 0.0:
+            stage_cfg = dc.replace(
+                stage_cfg, loss=dc.replace(stage_cfg.loss, vgg=args.lambda_vgg)
             )
         state, opt = init_train_state(params, model, cfg, seed=args.seed)
         step_fn = jax.jit(
@@ -225,7 +240,7 @@ def main(argv=None):
             ds,
             save_dir=os.path.join(args.out, "test"),
             settings=RenderSettings(use_explicit=args.use_explicit, raster=raster),
-            lpips_fn=load_lpips(args.lpips_weights),
+            lpips_fn=eval_lpips,
         )
         print("eval:", json.dumps(res))
 

@@ -269,8 +269,10 @@ def make_train_step(
         # (``gaussian_surfel_mvdream.py:401-410``).  Deviation: the reference
         # nests this under ``lambda_normal_B > 0`` — which the _fs configs
         # set to 0, silently disabling the vgg term they enable.  Here it is
-        # an independent term, gated only by its own weight.
-        if lpips_fn is not None:
+        # an independent term, gated only by its own weight (statically:
+        # two 512px VGG16 forwards are not worth tracing for a 0 weight).
+        vgg_on = isinstance(w.vgg, (tuple, list)) or float(w.vgg) != 0.0
+        if lpips_fn is not None and vgg_on:
             loss_vgg = lpips_fn(
                 (gt["render"] - 0.5) * 2.0, (gt_rgb_blended - 0.5) * 2.0
             )
