@@ -17,7 +17,8 @@ import argparse
 import os
 
 
-def run_turntable(out_dir, ds, params, model, use_explicit, num_views=36):
+def run_turntable(out_dir, ds, params, model, use_explicit, num_views=36,
+                  attrs=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,6 +48,7 @@ def run_turntable(out_dir, ds, params, model, use_explicit, num_views=36):
             jnp.ones(3),
             jnp.asarray(0),
             settings,
+            attrs=attrs,
             smpl_override=ov,
         )
     )
@@ -125,14 +127,36 @@ def main(argv=None):
             distill_steps=0,
         )
 
+    attrs = None
+    force_explicit = False
     if args.ckpt:
         if args.ckpt.endswith(".ckpt"):
-            from ..io.checkpoint import import_reference_ckpt
+            from ..io.checkpoint import (
+                import_reference_ckpt,
+                import_reference_field_from_ckpt,
+            )
 
             mapped = import_reference_ckpt(args.ckpt)
             params = params._replace(
                 **{k: jnp.asarray(v) for k, v in mapped.items()}
             )
+            if not args.use_explicit:
+                # Field-driven rendering: the reference queries the field at
+                # the canonical points once per render
+                # (``test/render_rot.py:129-135``, ``diff_gaussian_
+                # rasterizer.py:88-102``); canonical xyz is fixed at
+                # inference, so one evaluation serves every view.
+                rf = import_reference_field_from_ckpt(args.ckpt)
+                if rf is not None:
+                    from ..field.reference_import import reference_field_apply
+
+                    attrs = reference_field_apply(rf, params.xyz)
+                    print("imported reference attribute field "
+                          f"({'tcnn' if rf.tcnn else 'torch'} layout)")
+                else:
+                    print("[warn] reference ckpt has no attribute field; "
+                          "rendering with explicit params")
+                    force_explicit = True
         else:
             params, _ = load_avatar(args.ckpt, params)
 
@@ -141,8 +165,9 @@ def main(argv=None):
         ds,
         params,
         model,
-        args.use_explicit or args.ckpt is None,
+        args.use_explicit or force_explicit or args.ckpt is None,
         args.num_views,
+        attrs=attrs,
     )
 
 

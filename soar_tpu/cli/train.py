@@ -26,6 +26,11 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config", type=str, default=None,
+        help="YAML config (soar_tpu configs/*.yaml or an original reference "
+        "threestudio-soar YAML); CLI flags explicitly passed still win",
+    )
     ap.add_argument("--dataroot", type=str, default=None)
     ap.add_argument("--smpl-model", type=str, default=None)
     ap.add_argument("--out", type=str, default="outputs/run")
@@ -59,7 +64,52 @@ def main(argv=None):
     )
     ap.add_argument("--trace-steps", type=int, default=0,
                     help="capture a jax.profiler trace for the first N steps")
+    # ---- SDS diffusion guidance (``gaussiansurfel_imagedream_s0.yaml:87-96``)
+    ap.add_argument(
+        "--guidance", type=str, default="none",
+        choices=["none", "imagedream", "mvdream"],
+        help="multi-view SDS guidance; imagedream additionally conditions "
+        "on the per-frame GT crop (stage 1) / ECON normal_F (stage 0)",
+    )
+    ap.add_argument("--prompt", type=str, default=None,
+                    help="text prompt (encoded via --clip-model-dir, or "
+                    "supply --prompt-embeddings)")
+    ap.add_argument("--prompt-embeddings", type=str, default=None,
+                    help=".npz with cond/uncond [77, D] text embeddings")
+    ap.add_argument("--clip-model-dir", type=str, default=None,
+                    help="local SD2.1 text_encoder+tokenizer directory")
+    ap.add_argument("--guidance-ckpt", type=str, default=None,
+                    help="torch sd-v2.1-base-4view[-ipmv] checkpoint; "
+                    "converted to flax at startup")
+    ap.add_argument("--mock-guidance", action="store_true",
+                    help="random-init full-shape guidance networks (smoke/"
+                    "bench path for this zero-egress environment)")
+    ap.add_argument("--guidance-image-size", type=int, default=256)
+    ap.add_argument("--guidance-dtype", type=str, default="bf16",
+                    choices=["bf16", "f32"],
+                    help="guidance network compute dtype (the reference "
+                    "runs half_precision_weights=true)")
     args = ap.parse_args(argv)
+
+    yaml_cfg = None
+    if args.config:
+        from ..train.yaml_config import load_yaml_config
+
+        yaml_cfg = load_yaml_config(args.config)
+        # YAML fills in whatever the CLI left at its default.
+        if args.dataroot is None and yaml_cfg["dataroot"] not in (None, "???"):
+            args.dataroot = str(yaml_cfg["dataroot"])
+        if args.prompt is None and yaml_cfg["prompt"] not in (None, "???"):
+            args.prompt = str(yaml_cfg["prompt"])
+        if args.guidance == "none" and yaml_cfg["guidance_kind"]:
+            args.guidance = yaml_cfg["guidance_kind"]
+        if args.guidance_ckpt is None and yaml_cfg["guidance_ckpt"]:
+            args.guidance_ckpt = str(yaml_cfg["guidance_ckpt"])
+        ys = yaml_cfg["stage"]
+        if args.stage == "both":
+            args.stage = str(ys.training_stage)
+            print(f"--config defines stage {ys.training_stage}; running only "
+                  "that stage (pass --stage to override)")
 
     import jax
     import jax.numpy as jnp
@@ -105,7 +155,12 @@ def main(argv=None):
         params, start_step = load_avatar(args.resume, params)
         print(f"resumed from {args.resume} @ step {start_step}")
 
-    cfg = TrainConfig(n_views=args.n_views)
+    if yaml_cfg is not None:
+        import dataclasses as dc
+
+        cfg = dc.replace(yaml_cfg["train"], n_views=args.n_views)
+    else:
+        cfg = TrainConfig(n_views=args.n_views)
     has_normals = bool(getattr(ds, "normal_F", np.zeros(0)).size)
     raster = RasterConfig()
 
@@ -131,12 +186,16 @@ def main(argv=None):
 
     stages = {"0": [0], "1": [1], "both": [0, 1]}[args.stage]
     for st in stages:
-        stage_cfg = (
-            StageConfig(max_steps=args.steps)
-            if st == 0
-            else stage1_config(args.steps)
-        )
         import dataclasses as dc
+
+        if yaml_cfg is not None and yaml_cfg["stage"].training_stage == st:
+            stage_cfg = dc.replace(yaml_cfg["stage"], max_steps=args.steps)
+        else:
+            stage_cfg = (
+                StageConfig(max_steps=args.steps)
+                if st == 0
+                else stage1_config(args.steps)
+            )
 
         if not has_normals:
             stage_cfg = dc.replace(
@@ -149,7 +208,44 @@ def main(argv=None):
             stage_cfg = dc.replace(
                 stage_cfg, loss=dc.replace(stage_cfg.loss, vgg=args.lambda_vgg)
             )
-        state, opt = init_train_state(params, model, cfg, seed=args.seed)
+
+        guidance_fn = None
+        if args.guidance != "none":
+            from ..guidance.build import build_guidance
+
+            text_emb = None
+            if args.prompt_embeddings or args.clip_model_dir:
+                from ..guidance.prompt import PromptProcessor
+
+                text_emb = PromptProcessor(
+                    args.prompt or "",
+                    embeddings_path=args.prompt_embeddings,
+                    clip_model_dir=args.clip_model_dir,
+                )()
+            elif not args.mock_guidance:
+                raise SystemExit(
+                    "--guidance needs --prompt-embeddings / --clip-model-dir "
+                    "(or --mock-guidance for random-init text embeddings)"
+                )
+            guidance_fn = build_guidance(
+                args.guidance,
+                stage_cfg,
+                key=jax.random.PRNGKey(args.seed + 100),
+                ckpt_path=args.guidance_ckpt,
+                text_embeddings=text_emb,
+                mock=args.mock_guidance,
+                image_size=args.guidance_image_size,
+                n_view=args.n_views,
+                dtype=jnp.bfloat16 if args.guidance_dtype == "bf16"
+                else jnp.float32,
+            )
+            print(f"guidance: {args.guidance} "
+                  f"({'mock' if args.mock_guidance and not args.guidance_ckpt else args.guidance_ckpt}, "
+                  f"{args.guidance_dtype})")
+
+        state, opt = init_train_state(
+            params, model, cfg, seed=args.seed, stage=stage_cfg
+        )
         step_fn = jax.jit(
             make_train_step(
                 model,
@@ -163,6 +259,7 @@ def main(argv=None):
                 use_explicit=args.use_explicit,
                 has_normals=has_normals,
                 lpips_fn=lpips_fn,
+                guidance_fn=guidance_fn,
             )
         )
         from ..avatar import RenderSettings, render_view

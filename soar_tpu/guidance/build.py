@@ -1,0 +1,258 @@
+"""Assemble a trainer-ready ``guidance_fn`` (ImageDream / MVDream).
+
+Replaces the reference's ``build_model("sd-v2.1-base-4view-ipmv")`` +
+prompt-processor construction (``guidance/imagedream_guidance.py:52-73``,
+``system/gaussian_surfel_mvdream.py:47-51``) with one builder returning a
+closure that matches the trainer contract
+(:func:`soar_tpu.train.trainer.make_train_step`):
+
+    guidance_fn(inp [V,H,W,3], c2w [V,4,4], step, key,
+                ref_rgb=None, ref_mask=None, comp_bg=None) -> dict
+
+Three weight sources:
+
+- ``ckpt_path``: a torch LDM checkpoint (``model.diffusion_model.*`` UNet,
+  ``first_stage_model.*`` VAE, ``image_proj_model.*`` resampler, CLIP vision
+  under ``embedder.model.visual.*``) run through the converters in
+  :mod:`soar_tpu.guidance.networks` / :mod:`soar_tpu.guidance.clip_vit`.
+- ``mock=True``: random-init FULL-SHAPE networks (320-ch UNet, SD VAE,
+  ViT-H CLIP) — exercises the real architectures end-to-end where no
+  pretrained weights can be downloaded (zero-egress).
+- ``tiny=True``: miniature configs for CI tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..train.config import StageConfig
+from .clip_vit import (
+    CLIPVisionConfig,
+    ResamplerConfig,
+    convert_clip_vit_torch_params,
+    convert_resampler_torch_params,
+    init_mock_image_embed_fn,
+    make_image_embed_fn,
+)
+from .networks import (
+    MultiViewUNet,
+    VAEEncoder,
+    convert_unet_torch_params,
+    convert_vae_torch_params,
+)
+from .sds import GuidanceConfig, MultiviewGuidance
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkShapes:
+    """Shared shape bundle for the three guidance networks."""
+
+    unet: MultiViewUNet
+    vae: VAEEncoder
+    latent_size: int
+    clip_cfg: CLIPVisionConfig
+    resampler_cfg: ResamplerConfig
+    context_dim: int
+
+    @classmethod
+    def full(cls) -> "NetworkShapes":
+        return cls(
+            unet=MultiViewUNet(),
+            vae=VAEEncoder(),
+            latent_size=32,
+            clip_cfg=CLIPVisionConfig(),
+            resampler_cfg=ResamplerConfig(),
+            context_dim=1024,
+        )
+
+    @classmethod
+    def tiny(cls, image_size: int = 32) -> "NetworkShapes":
+        return cls(
+            unet=MultiViewUNet(
+                model_channels=16,
+                channel_mult=(1, 2),
+                num_res_blocks=1,
+                attention_levels=(0, 1),
+                num_head_channels=8,
+                context_dim=16,
+            ),
+            vae=VAEEncoder(base_channels=16, channel_mult=(1, 2)),
+            latent_size=image_size // 2,
+            clip_cfg=CLIPVisionConfig.tiny(),
+            resampler_cfg=ResamplerConfig.tiny(),
+            context_dim=16,
+        )
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def init_mock_networks(
+    key: jax.Array, shapes: NetworkShapes, n_view: int = 4
+) -> Dict:
+    """Random-init UNet + VAE variables at the given shapes."""
+    ku, kv = jax.random.split(key)
+    hw = shapes.latent_size
+    dummy_lat = jnp.zeros((2 * n_view, hw, hw, 4))
+    dummy_t = jnp.zeros((2 * n_view,), jnp.int32)
+    dummy_ctx = {
+        "context": jnp.zeros((2 * n_view, 77, shapes.context_dim)),
+        "camera": jnp.zeros((2 * n_view, 16)),
+        "num_frames": n_view,
+    }
+    unet_vars = shapes.unet.init(ku, dummy_lat, dummy_t, dummy_ctx)
+    dummy_img = jnp.zeros((n_view, 8 * hw, 8 * hw, 3))
+    vae_vars = shapes.vae.init(kv, dummy_img)
+    return {"unet": unet_vars, "vae": vae_vars}
+
+
+def load_guidance_checkpoint(path: str, shapes: NetworkShapes) -> Dict:
+    """torch LDM checkpoint -> flax variables for UNet/VAE (+ resampler and
+    CLIP vision tower when present).  Key prefixes follow the
+    MVDream/ImageDream ``LatentDiffusion`` wrapper."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+    unet_sd = {
+        k[len("model.diffusion_model.") :]: v
+        for k, v in sd.items()
+        if k.startswith("model.diffusion_model.")
+    }
+    vae_sd = {
+        k[len("first_stage_model.") :]: v
+        for k, v in sd.items()
+        if k.startswith("first_stage_model.")
+    }
+    # quant_conv lives next to first_stage_model in LDM checkpoints.
+    for k, v in sd.items():
+        if k.startswith("quant_conv."):
+            vae_sd[k] = v
+    out = {
+        "unet": convert_unet_torch_params(unet_sd, shapes.unet),
+        "vae": convert_vae_torch_params(vae_sd),
+    }
+    if any(k.startswith("image_proj_model.") for k in sd):
+        out["resampler"] = convert_resampler_torch_params(
+            sd, shapes.resampler_cfg, prefix="image_proj_model."
+        )
+    clip_prefix = None
+    for cand in ("embedder.model.visual.", "image_embedder.model.visual."):
+        if any(k.startswith(cand) for k in sd):
+            clip_prefix = cand
+            break
+    if clip_prefix:
+        out["clip"] = convert_clip_vit_torch_params(
+            sd, shapes.clip_cfg, prefix=clip_prefix
+        )
+    return out
+
+
+def build_guidance(
+    kind: str,
+    stage: StageConfig,
+    *,
+    key: Optional[jax.Array] = None,
+    ckpt_path: Optional[str] = None,
+    text_embeddings: Optional[np.ndarray] = None,  # [2, 77, D]
+    mock: bool = False,
+    tiny: bool = False,
+    image_size: int = 256,
+    n_view: int = 4,
+    dtype=jnp.float32,
+) -> Callable:
+    """Build the guidance closure for :func:`make_train_step`.
+
+    ``kind``: "imagedream" (image-prompted, ``sd-v2.1-base-4view-ipmv``) or
+    "mvdream" (text-only, ``sd-v2.1-base-4view``).
+    """
+    if kind not in ("imagedream", "mvdream"):
+        raise ValueError(f"unknown guidance kind {kind!r}")
+    shapes = NetworkShapes.tiny(image_size) if tiny else NetworkShapes.full()
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_net, k_clip, k_txt = jax.random.split(key, 3)
+
+    if ckpt_path is not None:
+        variables = load_guidance_checkpoint(ckpt_path, shapes)
+    elif mock or tiny:
+        variables = init_mock_networks(k_net, shapes, n_view=n_view)
+    else:
+        raise ValueError(
+            "build_guidance needs ckpt_path, mock=True, or tiny=True"
+        )
+    unet_vars = _cast_tree(variables["unet"], dtype)
+    vae_vars = _cast_tree(variables["vae"], dtype)
+
+    unet, vae = shapes.unet, shapes.vae
+
+    def encode_fn(images01, key):
+        z = vae.apply(vae_vars, images01.astype(dtype), key)
+        return z.astype(jnp.float32)
+
+    def denoise_fn(latents, t, context):
+        ctx = dict(context)
+        for k in ("context", "camera", "ip"):
+            if k in ctx:
+                ctx[k] = ctx[k].astype(dtype)
+        eps = unet.apply(unet_vars, latents.astype(dtype), t, ctx)
+        return eps.astype(jnp.float32)
+
+    image_embed_fn = None
+    if kind == "imagedream":
+        if ckpt_path is not None and "clip" in variables and "resampler" in variables:
+            image_embed_fn = make_image_embed_fn(
+                _cast_tree(variables["clip"], dtype),
+                _cast_tree(variables["resampler"], dtype),
+                shapes.clip_cfg,
+                shapes.resampler_cfg,
+            )
+        else:
+            image_embed_fn = init_mock_image_embed_fn(
+                k_clip, shapes.clip_cfg, shapes.resampler_cfg
+            )
+
+    if text_embeddings is None:
+        if not (mock or tiny):
+            raise ValueError("text_embeddings required unless mock/tiny")
+        text_embeddings = jax.random.normal(
+            k_txt, (2, 77, shapes.context_dim)
+        )
+    text_embeddings = jnp.asarray(text_embeddings, jnp.float32)
+
+    gcfg = GuidanceConfig(
+        guidance_scale=stage.guidance_scale,
+        min_step_percent=stage.min_step_percent,
+        max_step_percent=stage.max_step_percent,
+        n_view=n_view,
+        image_size=image_size,
+    )
+    mv = MultiviewGuidance(
+        gcfg,
+        encode_fn,
+        denoise_fn,
+        text_embeddings,
+        image_embed_fn=image_embed_fn,
+    )
+
+    def guidance_fn(inp, c2w, step, key, ref_rgb=None, ref_mask=None,
+                    comp_bg=None):
+        return mv(
+            inp, c2w, key, step,
+            ref_rgb=ref_rgb if kind == "imagedream" else None,
+            ref_mask=ref_mask,
+            comp_bg=comp_bg,
+        )
+
+    return guidance_fn

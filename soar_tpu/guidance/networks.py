@@ -38,17 +38,23 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000):
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+def _gn(ch: int) -> "nn.GroupNorm":
+    """GroupNorm(32) as in LDM; group count shrinks for tiny test configs
+    (real configs always use multiples of 32)."""
+    return nn.GroupNorm(num_groups=math.gcd(32, ch), epsilon=1e-5)
+
+
 class ResBlock(nn.Module):
     out_channels: int
 
     @nn.compact
     def __call__(self, x, emb):
-        h = nn.GroupNorm(num_groups=32)(x)
+        h = _gn(x.shape[-1])(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1)(h)
         emb_out = nn.Dense(self.out_channels)(nn.silu(emb))
         h = h + emb_out[:, None, None, :]
-        h = nn.GroupNorm(num_groups=32)(h)
+        h = _gn(h.shape[-1])(h)
         h = nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, kernel_init=nn.initializers.zeros
@@ -106,16 +112,16 @@ class TransformerBlock(nn.Module):
         else:
             xs = x
         attn_out = Attention(self.heads, self.dim_head, name="attn1")(
-            nn.LayerNorm(name="norm1")(xs)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(xs)
         )
         if num_frames > 1:
             attn_out = attn_out.reshape(B, T, C)
         x = x + attn_out
         x = x + Attention(self.heads, self.dim_head, name="attn2")(
-            nn.LayerNorm(name="norm2")(x), context
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context
         )
         x = x + nn.Sequential([GEGLU(C * 4), nn.Dense(C)], name="ff")(
-            nn.LayerNorm(name="norm3")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         )
         return x
 
@@ -128,7 +134,7 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context, num_frames: int):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=32)(x)
+        h = _gn(x.shape[-1])(x)
         h = h.reshape(B, H * W, C)
         h = nn.Dense(C, name="proj_in")(h)  # use_linear_in_transformer
         h = TransformerBlock(
@@ -229,7 +235,7 @@ class MultiViewUNet(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, name=f"up_{level}_us")(h)
 
-        h = nn.GroupNorm(num_groups=32, name="out_norm")(h)
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-5, name="out_norm")(h)
         h = nn.silu(h)
         return nn.Conv(
             self.out_channels,
@@ -265,7 +271,7 @@ class VAEEncoder(nn.Module):
         h = _VAEResBlock(ch, name="mid_res0")(h)
         h = _VAEAttn(name="mid_attn")(h)
         h = _VAEResBlock(ch, name="mid_res1")(h)
-        h = nn.GroupNorm(num_groups=32, name="out_norm")(h)
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-5, name="out_norm")(h)
         h = nn.silu(h)
         moments = nn.Conv(
             2 * self.latent_channels, (3, 3), padding=1, name="conv_out"
@@ -287,10 +293,10 @@ class _VAEResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=32)(x)
+        h = _gn(x.shape[-1])(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1)(h)
-        h = nn.GroupNorm(num_groups=32)(h)
+        h = _gn(h.shape[-1])(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1)(h)
         if x.shape[-1] != self.out_channels:
@@ -302,7 +308,7 @@ class _VAEAttn(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=32)(x)
+        h = _gn(x.shape[-1])(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C)(h)
         k = nn.Dense(C)(h)
@@ -386,13 +392,122 @@ def convert_vae_torch_params(sd: Dict) -> Dict:
     return {"params": p}
 
 
-def convert_unet_torch_params(sd: Dict) -> Dict:
-    """Mapping from the MVDream ``MultiViewUNetModel`` state_dict.  The torch
-    module stores blocks in flat ``input_blocks.N`` lists; we walk them in
-    the same construction order as :class:`MultiViewUNet`.  Structural only —
-    run against a real checkpoint to use (none can be fetched here)."""
-    raise NotImplementedError(
-        "UNet weight conversion requires a downloaded MVDream/ImageDream "
-        "checkpoint; wire the state_dict walk when weights are available "
-        "(mapping documented in this module's source)."
-    )
+def convert_unet_torch_params(
+    sd: Dict, unet: Optional["MultiViewUNet"] = None
+) -> Dict:
+    """Map the MVDream/ImageDream ``MultiViewUNetModel`` (LDM openaimodel)
+    state_dict onto :class:`MultiViewUNet` variables.
+
+    The torch module stores blocks in flat ``input_blocks.N`` /
+    ``middle_block`` / ``output_blocks.N`` ``TimestepEmbedSequential`` lists;
+    this walks them in the exact construction order of
+    :class:`MultiViewUNet.__call__` (same order the torch ``UNetModel``
+    constructor uses).  Validated by a flax->torch-layout round-trip test
+    (``tests/test_guidance_networks.py``)."""
+    import numpy as np
+
+    u = unet or MultiViewUNet()
+    p: Dict = {}
+
+    def lin(prefix):
+        out = {"kernel": np.asarray(sd[prefix + ".weight"]).T}
+        if prefix + ".bias" in sd:
+            out["bias"] = np.asarray(sd[prefix + ".bias"])
+        return out
+
+    def conv(prefix):
+        return {
+            "kernel": _conv_kernel(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"]),
+        }
+
+    def gn(prefix):
+        return {
+            "scale": np.asarray(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"]),
+        }
+
+    def resblock(tp):
+        out = {
+            "GroupNorm_0": gn(tp + ".in_layers.0"),
+            "Conv_0": conv(tp + ".in_layers.2"),
+            "Dense_0": lin(tp + ".emb_layers.1"),
+            "GroupNorm_1": gn(tp + ".out_layers.0"),
+            "Conv_1": conv(tp + ".out_layers.3"),
+        }
+        if tp + ".skip_connection.weight" in sd:
+            out["Conv_2"] = conv(tp + ".skip_connection")
+        return out
+
+    def attention(tp, names=("Dense_0", "Dense_1", "Dense_2", "Dense_3")):
+        return {
+            names[0]: lin(tp + ".to_q"),
+            names[1]: lin(tp + ".to_k"),
+            names[2]: lin(tp + ".to_v"),
+            names[3]: lin(tp + ".to_out.0"),
+        }
+
+    def proj_inout(prefix):
+        w = np.asarray(sd[prefix + ".weight"])
+        if w.ndim == 4:  # conv projection (use_linear_in_transformer=False)
+            w = w[:, :, 0, 0]
+        return {"kernel": w.T, "bias": np.asarray(sd[prefix + ".bias"])}
+
+    def transformer(tp):
+        tb = tp + ".transformer_blocks.0"
+        return {
+            "GroupNorm_0": gn(tp + ".norm"),
+            "proj_in": proj_inout(tp + ".proj_in"),
+            "block0": {
+                "norm1": gn(tb + ".norm1"),
+                "attn1": attention(tb + ".attn1"),
+                "norm2": gn(tb + ".norm2"),
+                "attn2": attention(tb + ".attn2"),
+                "norm3": gn(tb + ".norm3"),
+                # flax inlines the ff Sequential's children into the block
+                # scope: GEGLU_0 = ff.net.0 (GEGLU proj), Dense_0 = ff.net.2.
+                "GEGLU_0": {"Dense_0": lin(tb + ".ff.net.0.proj")},
+                "Dense_0": lin(tb + ".ff.net.2"),
+            },
+            "proj_out": proj_inout(tp + ".proj_out"),
+        }
+
+    p["time_embed_0"] = lin("time_embed.0")
+    p["time_embed_2"] = lin("time_embed.2")
+    if "camera_embed.0.weight" in sd:
+        p["camera_embed_0"] = lin("camera_embed.0")
+        p["camera_embed_2"] = lin("camera_embed.2")
+
+    # input_blocks: .0.0 is conv_in; then num_res_blocks x (res [+ attn]) per
+    # level with a Downsample (.0.op) between levels.
+    p["input_conv"] = conv("input_blocks.0.0")
+    n = 1
+    for level in range(len(u.channel_mult)):
+        for i in range(u.num_res_blocks):
+            p[f"down_{level}_{i}_res"] = resblock(f"input_blocks.{n}.0")
+            if level in u.attention_levels:
+                p[f"down_{level}_{i}_attn"] = transformer(f"input_blocks.{n}.1")
+            n += 1
+        if level != len(u.channel_mult) - 1:
+            p[f"down_{level}_ds"] = conv(f"input_blocks.{n}.0.op")
+            n += 1
+
+    p["mid_res0"] = resblock("middle_block.0")
+    p["mid_attn"] = transformer("middle_block.1")
+    p["mid_res1"] = resblock("middle_block.2")
+
+    n = 0
+    for level in reversed(range(len(u.channel_mult))):
+        for i in range(u.num_res_blocks + 1):
+            p[f"up_{level}_{i}_res"] = resblock(f"output_blocks.{n}.0")
+            idx = 1
+            if level in u.attention_levels:
+                p[f"up_{level}_{i}_attn"] = transformer(f"output_blocks.{n}.1")
+                idx = 2
+            if level != 0 and i == u.num_res_blocks:
+                p[f"up_{level}_us"] = conv(f"output_blocks.{n}.{idx}.conv")
+            n += 1
+
+    p["out_norm"] = gn("out.0")
+    p["out_conv"] = conv("out.2")
+    return {"params": p}

@@ -127,12 +127,13 @@ class MultiviewGuidance:
             "num_frames": V,
         }
         if ref_rgb is not None and self.image_embed_fn is not None:
-            ip = ref_rgb
-            if comp_bg is not None and ref_mask is not None:
-                ip = ref_rgb * ref_mask[..., None] + comp_bg * (
-                    1.0 - ref_mask[..., None]
-                )
-            img_emb = self.image_embed_fn(ip)
+            # Reference quirk (``imagedream_guidance.py:191-195``): the
+            # ref/comp_bg composite is computed and then immediately
+            # OVERWRITTEN by ``ip = to_pil_image(ref_rgb)`` — the image
+            # conditioning always sees the raw reference image.  Matched
+            # here; ref_mask/comp_bg stay in the signature for parity.
+            del ref_mask, comp_bg
+            img_emb = self.image_embed_fn(ref_rgb)
             context["ip"] = jnp.concatenate(
                 [
                     jnp.tile(img_emb[None], (V, 1, 1)),

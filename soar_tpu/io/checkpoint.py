@@ -88,3 +88,27 @@ def import_reference_ckpt(
 
         warnings.warn(f"reference ckpt missing keys: {sorted(missing)}")
     return out
+
+
+def import_reference_field_from_ckpt(path: str):
+    """Import the ``geometry.attribute_field.*`` weights of a reference
+    Lightning ``.ckpt`` (consumed the same way at ``test/render_rot.py:
+    129-135``) as a :class:`soar_tpu.field.reference_import.ReferenceField`,
+    or None if the checkpoint carries no field.  Handles both nerfstudio
+    implementations (tcnn packed buffers / torch hash tables)."""
+    import torch
+
+    from ..field.reference_import import import_reference_field
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    prefix = "geometry.attribute_field."
+    field_sd = {
+        k: v.detach().cpu().numpy()
+        for k, v in sd.items()
+        if k.startswith(prefix) and hasattr(v, "detach")
+    }
+    if not field_sd:
+        return None
+    return import_reference_field(field_sd, prefix=prefix)

@@ -75,7 +75,8 @@ class OptimConfig:
 @dataclasses.dataclass(frozen=True)
 class StageConfig:
     """Per-stage knobs; the two training stages differ only here
-    (SURVEY §5.6: s0<->s1 = training_stage, lambda_mask 1->10, SDS anneal)."""
+    (SURVEY §5.6: s0<->s1 = training_stage, lambda_mask 1->10, SDS anneal,
+    position_lr_final)."""
 
     training_stage: int = 0
     max_steps: int = 1000
@@ -84,16 +85,21 @@ class StageConfig:
     min_step_percent: Scheduled = 0.02
     max_step_percent: Scheduled = (0, 0.75, 0.25, 2000)
     guidance_scale: float = 5.0
+    # Per-stage optimizer override; None = use TrainConfig.optim.
+    optim: "OptimConfig | None" = None
 
 
 def stage1_config(max_steps: int = 1000) -> StageConfig:
-    """s1 yaml deltas (``configs/gaussiansurfel_imagedream_s1.yaml``)."""
+    """s1 yaml deltas (``configs/gaussiansurfel_imagedream_s1.yaml``):
+    lambda_mask 10, SDS anneal ends at 1000, and the xyz LR stays flat at
+    1.6e-5 (s1 yaml :32-33 sets init == final)."""
     return StageConfig(
         training_stage=1,
         max_steps=max_steps,
         sds_start=0,
         loss=LossWeights(mask=10.0),
         max_step_percent=(0, 0.75, 0.25, 1000),
+        optim=OptimConfig(position_lr_final=0.000016),
     )
 
 

@@ -172,12 +172,31 @@ def make_gaussiandreamer_step(
     return loss_step, maintain
 
 
-def make_mvdream_step(model, cfg: TrainConfig, stage: StageConfig, opt,
-                      guidance_fn, **kwargs):
+def make_mvdream_step(
+    model,
+    cfg: TrainConfig,
+    stage: StageConfig,
+    opt,
+    guidance_fn,
+    gen_size: Tuple[int, int] = (512, 512),
+    gt_size: Tuple[int, int] = (512, 512),
+    normal_size: Tuple[int, int] = (512, 512),
+    **kwargs,
+):
     """The MVDream system == the SOAR step with text-only guidance
-    (``system/gaussian_mvdream.py``); provided as a named constructor for
-    registry parity."""
+    (``system/gaussian_mvdream.py:29-475``); the render sizes default to the
+    reference's 512px so the constructor is callable as-is (exercised by
+    ``tests/test_sds_train.py::test_make_mvdream_step``)."""
     from .trainer import make_train_step
 
-    return make_train_step(model, cfg, stage, opt, guidance_fn=guidance_fn,
-                           **kwargs)
+    return make_train_step(
+        model,
+        cfg,
+        stage,
+        opt,
+        gen_size=gen_size,
+        gt_size=gt_size,
+        normal_size=normal_size,
+        guidance_fn=guidance_fn,
+        **kwargs,
+    )

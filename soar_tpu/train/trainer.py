@@ -34,7 +34,11 @@ from ..avatar.renderer import query_attributes
 from ..avatar.optim import make_optimizer
 from ..avatar.state import AvatarModel, AvatarParams
 from ..core.camera import Camera, camera_from_c2w, get_ray_directions, get_rays
-from ..data.cameras import CameraSampleConfig, sample_multiview_cameras
+from ..data.cameras import (
+    CameraSampleConfig,
+    sample_head_cameras,
+    sample_multiview_cameras,
+)
 from ..render.types import RasterConfig
 from . import losses as L
 from .background import apply_random_aug, background_color, init_background
@@ -61,8 +65,10 @@ def init_train_state(
     model: AvatarModel,
     cfg: TrainConfig,
     seed: int = 0,
+    stage: Optional[StageConfig] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    opt = make_optimizer(params, cfg.optim)
+    optim_cfg = stage.optim if (stage is not None and stage.optim) else cfg.optim
+    opt = make_optimizer(params, optim_cfg)
     bg = init_background(jax.random.PRNGKey(seed + 7))
     return (
         TrainState(
@@ -95,7 +101,14 @@ def make_train_step(
 
     The returned function:  (state, batch, key) -> (state, metrics)
     where batch holds per-frame GT arrays + Camera pytrees (see
-    ``soar_tpu.train.batches``).
+    :func:`make_gt_batch`).
+
+    ``guidance_fn(inp, c2w, step, key, ref_rgb, ref_mask, comp_bg) ->
+    {"loss_sds": scalar, ...}`` receives the occ-weighted render stack
+    [V, H, W, 3], the sampled gen-view c2w [V, 4, 4] (ImageDream camera
+    conditioning), the per-frame reference image/mask, and the first view's
+    neural background; build one with
+    :func:`soar_tpu.guidance.build.build_guidance`.
     """
     nv = n_views or cfg.n_views
     gen_settings = RenderSettings(
@@ -116,7 +129,7 @@ def make_train_step(
     w = stage.loss
 
     def loss_fn(params, bg_params, batch, key, step):
-        k_cam, k_bg, k_bgaug, k_rand = jax.random.split(key, 4)
+        k_cam, k_head, k_hflag, k_bgaug, k_rand, k_sds = jax.random.split(key, 6)
         frame_idx = batch["frame_idx"]
 
         # One field query serves all 7 renders of this step (the reference
@@ -125,6 +138,18 @@ def make_train_step(
 
         # ---- gen views (vmapped over the view axis; shardable) ----
         c2w, fovy = sample_multiview_cameras(k_cam, cam_cfg)
+        if cfg.head_prob > 0.0:
+            # With prob head_prob the gen batch uses close-up "head" cameras.
+            # The reference draws head_flag = random() < 0.4 and samples these
+            # cameras every step (``gaussian_surfel_mvdream.py:91``,
+            # ``gaussian_batch_renderer.py:264-276``) but the surfel renderer
+            # swallows head_c2w/head_flag in ``**kwargs`` — the older MVDream
+            # system (``gaussian_mvdream.py:138-177``) shows the intended
+            # consumption.  Here the intended behavior is implemented.
+            head_c2w, head_fovy = sample_head_cameras(k_head, nv)
+            use_head = jax.random.uniform(k_hflag) < cfg.head_prob
+            c2w = jnp.where(use_head, head_c2w, c2w)
+            fovy = jnp.where(use_head, head_fovy, fovy)
         gen_cams = jax.vmap(
             lambda c, f: camera_from_c2w(c, f, f, znear=0.1, zfar=100.0)
         )(c2w, fovy)
@@ -322,22 +347,38 @@ def make_train_step(
         metrics["loss_delta"] = loss_delta
 
         # ---- SDS guidance (optional) ----
+        # Matches ``gaussian_surfel_mvdream.py:180-254``: the occ-weighted
+        # gradient hook exp(-3*occ) on the guidance input, the stage-dependent
+        # input (RGB composite in stage 1, rendered normals in stage 0), and
+        # the ImageDream reference image (GT RGB crop in stage 1, ECON
+        # normal_F in stage 0) + the first gen view's neural background.
         if guidance_fn is not None:
             occ_w = jnp.exp(-3.0 * jax.lax.stop_gradient(gen["occ"]))
             if stage.training_stage == 1:
                 guidance_inp = scale_gradient(comp_rgb, occ_w)
+                ref_rgb = batch.get("gt_rgb_crop")
+                ref_mask = batch.get("gt_mask_crop")
             else:
                 guidance_inp = scale_gradient(gen["normal"], occ_w)
-            sds = guidance_fn(
+                ref_rgb = batch.get("gt_normal_F")
+                ref_mask = batch.get("gt_normal_mask")
+            sds_out = guidance_fn(
                 guidance_inp,
+                c2w=c2w,
                 step=step,
-                key=k_bg,
-                batch=batch,
-                comp_bg=bg_rgb,
+                key=k_sds,
+                ref_rgb=ref_rgb,
+                ref_mask=ref_mask,
+                comp_bg=bg_rgb[0],
             )
+            if not isinstance(sds_out, dict):
+                sds_out = {"loss_sds": sds_out}
+            sds = sds_out["loss_sds"]
             sds_on = (step > stage.sds_start).astype(loss.dtype)
             loss = loss + sds_on * C(w.sds) * sds
             metrics["loss_sds"] = sds
+            if "grad_norm" in sds_out:
+                metrics["sds_grad_norm"] = sds_out["grad_norm"]
 
         metrics["loss"] = loss
         return loss, metrics
@@ -400,6 +441,10 @@ def make_gt_batch(ds, model: AvatarModel, frame_idx: int) -> Dict:
         "gt_mask": jnp.asarray(ds.masks[frame_idx]),
         "gt_cam": gt_cam,
         "normal_cam": normal_cam,
+        # ImageDream reference crop (``uncond_multiview.py:246-314`` crops,
+        # consumed at ``gaussian_surfel_mvdream.py:187-189``).
+        "gt_rgb_crop": jnp.asarray(ds.images_crop[frame_idx]),
+        "gt_mask_crop": jnp.asarray(ds.masks_crop[frame_idx]),
     }
     if ds.normal_F.size:
         batch["gt_normal_F"] = jnp.asarray(ds.normal_F[frame_idx])

@@ -90,10 +90,19 @@ def load_yaml_config(path: str) -> Dict[str, Any]:
         recon_std_rescale=float(guidance.get("recon_std_rescale", 0.2)),
     )
 
+    guidance_kind = None
+    gtype = system.get("guidance_type", "")
+    if "imagedream" in gtype:
+        guidance_kind = "imagedream"
+    elif "mvdream" in gtype:
+        guidance_kind = "mvdream"
+
     return {
         "train": train,
         "stage": stage,
         "guidance": gcfg,
+        "guidance_kind": guidance_kind,
+        "guidance_ckpt": guidance.get("ckpt_path"),
         "prompt": system.get("prompt_processor", {}).get("prompt"),
         "negative_prompt": system.get("prompt_processor", {}).get(
             "negative_prompt"

