@@ -3,13 +3,16 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline derivation (BASELINE.md): the reference trains 2000 steps in ~40 min
-on an RTX A5000 with 14 CUDA rasterizations + 1 UNet per step
-(SURVEY §3.2) — i.e. ~0.83 steps/s ≈ 11.7 rasterizations/s at 512px-class
-resolutions.  The headline metric is the full no-SDS training step
-(``bench_trainstep.run``: 7 renders at 512px over ~125k surfels, all losses,
-fused Adam) vs 0.83 steps/s; forward-render FPS at 512² vs the implied
-11.7/s rides along as secondary keys.  Both use best-of-3 batches against
-the ~3-7x shared-tenancy variance of the TPU tunnel.
+on an RTX A5000 with 14 CUDA rasterizations + LPIPS + 1 ImageDream UNet per
+step (SURVEY §3.2) — i.e. ~0.83 steps/s ≈ 11.7 rasterizations/s at
+512px-class resolutions.  The headline metric is the FULL SDS-ON training
+step (``bench_trainstep.run``: 7 renders at 512px over ~125k surfels, all
+losses incl. normal-LPIPS, the 320-ch ImageDream UNet + VAE + CLIP image
+prompt in bf16, fused Adam) vs 0.83 steps/s — the same per-step work as the
+reference.  The no-SDS step and forward-render FPS at 512² (vs the implied
+11.7/s) ride along as secondary keys.  All use best-of-3 batches against
+the ~3-7x shared-tenancy variance of the TPU tunnel; rasterizer overflow
+counters are asserted 0.
 """
 
 from __future__ import annotations

@@ -1,19 +1,48 @@
-"""Full no-SDS training step at production scale (the driver's headline
-metric via bench.py, which calls :func:`run`; also runnable directly:
+"""Full training step at production scale (the driver's headline metric via
+bench.py, which calls :func:`run`; also runnable directly:
     python bench_trainstep.py
 First run populates the persistent compile cache; re-run for timings).
 
 Baseline: the reference trains 2000 steps in ~40 min on an RTX A5000
-(SURVEY §6) = 0.83 steps/s; each step here does the same work (7 renders at
-512px over ~125k surfels, all losses, Adam) as one reference step minus the
-weight-gated SDS UNet.
+(SURVEY §6) = 0.83 steps/s; each step there does 14 CUDA rasterizations
+(7 renders), the normal-LPIPS loss terms, AND the ImageDream VAE+UNet SDS
+forward (SURVEY §3.2).  Two configurations are timed:
+
+- **SDS-on** (headline, apples-to-apples vs 0.83): 7 renders at 512px over
+  ~125k surfels, all losses including normal-LPIPS (random-init VGG16 — the
+  computation, not the weights, is what costs), and the full-shape 320-ch
+  ImageDream UNet + SD VAE guidance in bf16 (random-init; the reference
+  runs half-precision weights) with the GT-crop CLIP/Resampler image prompt.
+- **no-SDS** (secondary): the same step without the guidance — the
+  configuration reference users run when SDS weights are absent.
+
+The rasterizer overflow counters must be 0 (wrong-image canary).
 """
 
 import json
 import time
 
 
-def run():
+def _random_lpips_fn():
+    """Random-init LPIPS-VGG16 distance fn — exercises the exact LPIPS
+    computation graph for timing (converted weights change values, not
+    cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from soar_tpu.train.lpips import LPIPS
+
+    net = LPIPS()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = net.init(jax.random.PRNGKey(0), x, x)
+
+    def fn(a, b):
+        return jnp.mean(net.apply(variables, a[None], b[None]))
+
+    return fn
+
+
+def run(include_sds: bool = True):
     """Returns the result dict (does not print)."""
     import jax
     import jax.numpy as jnp
@@ -65,8 +94,8 @@ def run():
         normal_F=rng.rand(F, 512, 512, 3).astype(np.float32),
         normal_B=rng.rand(F, 512, 512, 3).astype(np.float32),
         normal_mask=(rng.rand(F, 512, 512) > 0.5).astype(np.float32),
-        images_crop=np.zeros((F, 64, 64, 3), np.float32),
-        masks_crop=np.zeros((F, 64, 64), np.float32),
+        images_crop=rng.rand(F, 512, 512, 3).astype(np.float32),
+        masks_crop=(rng.rand(F, 512, 512) > 0.5).astype(np.float32),
         smpl_params=sp,
         w2c=np.eye(4, dtype=np.float32),
         Ks=np.tile(K[None], (F, 1, 1)),
@@ -76,56 +105,103 @@ def run():
         test_idx=[],
     )
 
+    lpips_fn = _random_lpips_fn()
     cfg = TrainConfig(n_views=4)
-    state, opt = init_train_state(params, model, cfg)
-    step_fn = jax.jit(
-        make_train_step(
-            model,
-            cfg,
-            StageConfig(training_stage=0),
-            opt,
-            gen_size=(512, 512),
-            gt_size=(H, W),
-            normal_size=(512, 512),
-            raster=RasterConfig(max_per_tile=96, dup_side=3),
-            use_explicit=False,
-            has_normals=True,
-        ),
-        # NOTE: donate_argnums=(0,) would halve state memory, but the axon
-        # remote transport host-copies donated buffers and races their
-        # deletion ("Array has been deleted"); leave undonated here.
-    )
-
-    key = jax.random.PRNGKey(0)
-    batch = make_gt_batch(ds, model, 0)
-    t0 = time.time()
-    state, metrics = step_fn(state, batch, key)
-    l = float(metrics["loss"])
+    raster = RasterConfig(max_per_tile=96, dup_side=3)
     import sys
 
-    print(
-        f"compile+1st: {time.time()-t0:.1f}s loss={l:.4f}", file=sys.stderr
-    )
+    def build(guidance_fn, stage):
+        state, opt = init_train_state(params, model, cfg, stage=stage)
+        fn = jax.jit(
+            make_train_step(
+                model,
+                cfg,
+                stage,
+                opt,
+                gen_size=(512, 512),
+                gt_size=(H, W),
+                normal_size=(512, 512),
+                raster=raster,
+                use_explicit=False,
+                has_normals=True,
+                lpips_fn=lpips_fn,
+                guidance_fn=guidance_fn,
+            ),
+            # NOTE: donate_argnums=(0,) would halve state memory, but the
+            # axon remote transport host-copies donated buffers and races
+            # their deletion ("Array has been deleted"); leave undonated.
+        )
+        return state, fn
 
-    # Best of 3 batches (same protocol as bench.py: the shared TPU tenancy
-    # shows ~3-7x run-to-run variance; single batches under-report badly).
-    iters = 10
-    dt = float("inf")
-    for _rep in range(3):
+    def time_steps(state, step_fn, label, iters=10):
+        key = jax.random.PRNGKey(0)
+        batch = make_gt_batch(ds, model, 0)
         t0 = time.time()
-        for _ in range(iters):
-            key, k1 = jax.random.split(key)
-            state, metrics = step_fn(state, batch, k1)
+        state, metrics = step_fn(state, batch, key)
         l = float(metrics["loss"])
-        assert l == l, "loss is NaN"
-        dt = min(dt, time.time() - t0)
-    return {
-        "metric": f"train_step_no_sds_512px_{n}surfels",
-        "value": round(iters / dt, 3),
-        "unit": "steps/s",
-        "vs_baseline": round((iters / dt) / 0.83, 3),
-        "minutes_per_2000_steps": round(dt / iters * 2000 / 60, 1),
-    }
+        print(f"[{label}] compile+1st: {time.time()-t0:.1f}s loss={l:.4f}",
+              file=sys.stderr)
+        # Best of 3 batches (shared TPU tenancy shows ~3-7x run-to-run
+        # variance; single batches under-report badly).
+        dt = float("inf")
+        for _rep in range(3):
+            t0 = time.time()
+            for _ in range(iters):
+                key, k1 = jax.random.split(key)
+                state, metrics = step_fn(state, batch, k1)
+            l = float(metrics["loss"])
+            assert l == l, "loss is NaN"
+            dt = min(dt, time.time() - t0)
+        capped = float(metrics["raster_capped"])
+        assert capped == 0.0, (
+            f"rasterizer footprint overflow ({capped} capped surfels) — "
+            "raise dup_side"
+        )
+        return iters / dt, float(metrics["raster_dropped"])
+
+    result = {}
+    # no-SDS (secondary): all losses incl. normal-LPIPS, no guidance.
+    s_plain, dropped = time_steps(
+        *build(None, StageConfig(training_stage=0)), "no-sds"
+    )
+    result["train_step_no_sds_steps_per_s"] = round(s_plain, 3)
+    result["train_step_no_sds_vs_baseline"] = round(s_plain / 0.83, 3)
+    result["raster_dropped_far_splats"] = dropped
+
+    if include_sds:
+        from soar_tpu.guidance.build import build_guidance
+
+        stage = StageConfig(training_stage=0, sds_start=0)
+        guidance_fn = build_guidance(
+            "imagedream",
+            stage,
+            key=jax.random.PRNGKey(1),
+            mock=True,
+            image_size=256,
+            n_view=4,
+            dtype=jnp.bfloat16,
+        )
+        s_sds, _ = time_steps(*build(guidance_fn, stage), "sds", iters=5)
+        result.update(
+            {
+                "metric": f"train_step_sds_512px_{n}surfels",
+                "value": round(s_sds, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(s_sds / 0.83, 3),
+                "minutes_per_2000_steps": round(2000 / s_sds / 60, 1),
+            }
+        )
+    else:
+        result.update(
+            {
+                "metric": f"train_step_no_sds_512px_{n}surfels",
+                "value": round(s_plain, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(s_plain / 0.83, 3),
+                "minutes_per_2000_steps": round(2000 / s_plain / 60, 1),
+            }
+        )
+    return result
 
 
 if __name__ == "__main__":

@@ -173,4 +173,5 @@ def render_view(
         "mask": out.opac,
         "occ": occ_out.color,
         "curv": curv,
+        "overflow": out.overflow,
     }

@@ -89,6 +89,12 @@ def main(argv=None):
                     choices=["bf16", "f32"],
                     help="guidance network compute dtype (the reference "
                     "runs half_precision_weights=true)")
+    ap.add_argument(
+        "--sds-mode", type=str, default="split", choices=["split", "fused"],
+        help="split: the frozen UNet target compiles as its own program "
+        "(default — the fused train-step graph exceeds the axon "
+        "remote-compile transport); fused: single jit",
+    )
     args = ap.parse_args(argv)
 
     yaml_cfg = None
@@ -136,16 +142,36 @@ def main(argv=None):
     else:
         if not args.dataroot or not args.smpl_model:
             raise SystemExit("--dataroot and --smpl-model required (or --synthetic)")
-        from ..body.model import load_smplx_npz
+        from ..body.model import load_smpl_pkl, load_smplx_npz
 
-        ds = load_sequence(args.dataroot)
-        body = load_smplx_npz(args.smpl_model)
+        # insav_wild (GaussianAvatar-style) sequences carry SMPL-24 params in
+        # train/smpl_parms.pth (``utils/smpl.py:182-205``); images use the
+        # standard layout under <seq>/train (or <seq>).
+        insav_params = None
+        for cand in ("train/smpl_parms.pth", "smpl_parms.pth"):
+            if os.path.exists(os.path.join(args.dataroot, cand)):
+                from ..data.dataset import load_insav_smpl_params
+
+                insav_params = load_insav_smpl_params(args.dataroot)
+                break
+        img_root = args.dataroot
+        if insav_params is not None and os.path.isdir(
+            os.path.join(args.dataroot, "train", "images")
+        ):
+            img_root = os.path.join(args.dataroot, "train")
+        ds = load_sequence(img_root)
+        body = (
+            load_smpl_pkl(args.smpl_model)
+            if args.smpl_model.endswith(".pkl")
+            else load_smplx_npz(args.smpl_model)
+        )
         field_cfg = AttributeFieldConfig()
         gen_size = (512, 512)
         normal_size = (512, 512)
+        smpl_params = insav_params if insav_params is not None else ds.smpl_params
         params, model = init_avatar(
             body,
-            {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+            {k: jnp.asarray(v) for k, v in smpl_params.items()},
             num_subdiv=args.num_subdiv,
             field_cfg=field_cfg,
             seed=args.seed,
@@ -243,25 +269,53 @@ def main(argv=None):
                   f"({'mock' if args.mock_guidance and not args.guidance_ckpt else args.guidance_ckpt}, "
                   f"{args.guidance_dtype})")
 
+        # Precompute the per-frame ImageDream ip tokens (CLIP + Resampler on
+        # the GT crop / normal_F): the reference re-encodes every step
+        # (``imagedream_guidance.py:195``); here it runs once per frame and
+        # keeps the CLIP tower out of the train-step program.
+        ip_table = None
+        if guidance_fn is not None and getattr(guidance_fn, "embed_ref", None):
+            refs = (
+                ds.images_crop
+                if stage_cfg.training_stage == 1
+                else (ds.normal_F if has_normals else None)
+            )
+            if refs is not None and len(refs):
+                t_ip = time.time()
+                ip_table = np.stack(
+                    [
+                        np.asarray(
+                            guidance_fn.embed_ref(jnp.asarray(r[..., :3]))
+                        )
+                        for r in refs
+                    ]
+                )
+                print(
+                    f"precomputed ip tokens for {len(refs)} frames "
+                    f"({time.time()-t_ip:.1f}s)"
+                )
+
         state, opt = init_train_state(
             params, model, cfg, seed=args.seed, stage=stage_cfg
         )
-        step_fn = jax.jit(
-            make_train_step(
-                model,
-                cfg,
-                stage_cfg,
-                opt,
-                gen_size=gen_size,
-                gt_size=ds.image_size,
-                normal_size=normal_size,
-                raster=raster,
-                use_explicit=args.use_explicit,
-                has_normals=has_normals,
-                lpips_fn=lpips_fn,
-                guidance_fn=guidance_fn,
-            )
+        split_sds = guidance_fn is not None and args.sds_mode == "split"
+        raw_step = make_train_step(
+            model,
+            cfg,
+            stage_cfg,
+            opt,
+            gen_size=gen_size,
+            gt_size=ds.image_size,
+            normal_size=normal_size,
+            raster=raster,
+            use_explicit=args.use_explicit,
+            has_normals=has_normals,
+            lpips_fn=lpips_fn,
+            guidance_fn=guidance_fn,
+            split_sds=split_sds,
         )
+        step_fn = jax.jit(raw_step)
+        prelude_fn = jax.jit(raw_step.sds_prelude) if split_sds else None
         from ..avatar import RenderSettings, render_view
         from ..train.observe import MetricLogger, StepTimer, dump_debug_images, profile_trace
 
@@ -286,7 +340,19 @@ def main(argv=None):
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
             with timer.phase("batch"):
                 batch = make_gt_batch(ds, model, frame)
+                if ip_table is not None:
+                    batch["ref_ip"] = jnp.asarray(ip_table[frame])
             with timer.phase("step"):
+                if prelude_fn is not None:
+                    # split-SDS: gen-pass forward + latents (program 1),
+                    # frozen-UNet x0 target (program 2), then the train step
+                    # (program 3) consumes the target — see
+                    # make_train_step's docstring.
+                    lat, c2w, k_sds = prelude_fn(state, batch, k1)
+                    batch["sds_target"] = guidance_fn.compute_target(
+                        lat, c2w, k_sds, state.step,
+                        ref_ip=batch.get("ref_ip"),
+                    )
                 state, metrics = step_fn(state, batch, k1)
             if trace_ctx and it + 1 == args.trace_steps:
                 trace_ctx.__exit__(None, None, None)

@@ -151,6 +151,41 @@ def _load_params_pth(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_insav_smpl_params(seq_dir: str) -> Dict[str, np.ndarray]:
+    """Load the ``insav_wild`` (GaussianAvatar-style) body parameters:
+    ``<seq>/train/smpl_parms.pth`` with keys ``beta`` [1, 10],
+    ``body_pose`` [F, 72] (axis-angle, global orient in the first 3), and
+    ``trans`` [F, 3] — the SMPL-24 data mode of
+    ``utils/smpl.py:182-291`` — remapped to our canonical param dict
+    (``global_orient`` split out, ``body_pose`` the remaining 69).
+
+    The reference's UV-posmap side machinery for this mode
+    (``load_masks``/``query_posemap``/``lbs_map``, ``utils/smpl.py:62-87``)
+    is loaded there but latent: ``query_points`` come from the subdivided
+    template and skinning weights from kNN (``:601-637``) exactly like the
+    other modes, so this loader is the complete live surface.  Images /
+    masks, when present, use the standard ``load_sequence`` layout."""
+    import os
+
+    path = os.path.join(seq_dir, "train", "smpl_parms.pth")
+    if not os.path.exists(path):
+        path = os.path.join(seq_dir, "smpl_parms.pth")
+    data = _load_params_pth(path)
+    full_pose = np.asarray(data["body_pose"], np.float32)
+    if full_pose.shape[-1] != 72:
+        raise ValueError(
+            f"insav_wild body_pose must be [F, 72] (SMPL-24), got "
+            f"{full_pose.shape}"
+        )
+    betas = np.asarray(data["beta"], np.float32).reshape(1, -1)[:, :10]
+    return {
+        "betas": betas,
+        "global_orient": full_pose[:, :3],
+        "body_pose": full_pose[:, 3:],
+        "transl": np.asarray(data["trans"], np.float32),
+    }
+
+
 def load_sequence(dataroot: str) -> AvatarDataset:
     img_list = sorted(glob(os.path.join(dataroot, "images", "*.png")))
     mask_list = sorted(glob(os.path.join(dataroot, "masks", "*.png")))

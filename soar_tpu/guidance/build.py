@@ -247,12 +247,35 @@ def build_guidance(
     )
 
     def guidance_fn(inp, c2w, step, key, ref_rgb=None, ref_mask=None,
-                    comp_bg=None):
+                    comp_bg=None, ref_ip=None):
+        if kind != "imagedream":
+            ref_rgb = ref_ip = None
         return mv(
             inp, c2w, key, step,
-            ref_rgb=ref_rgb if kind == "imagedream" else None,
+            ref_rgb=ref_rgb if ref_ip is None else None,
             ref_mask=ref_mask,
             comp_bg=comp_bg,
+            ref_ip=ref_ip,
         )
 
+    # Per-frame ip precompute hook: ref images are GT data, so callers embed
+    # them ONCE at startup and feed `ref_ip` through the batch — keeping the
+    # CLIP tower out of the train-step XLA program (it broke the axon remote
+    # compile transport when traced inline) and running it 1x/frame instead
+    # of 1x/step.
+    guidance_fn.embed_ref = (
+        jax.jit(image_embed_fn) if image_embed_fn is not None else None
+    )
+    # Split-SDS handles (trainer ``split_sds=True``): the grad half
+    # (resize+VAE) stays inside the train step; the no-grad half (noise +
+    # frozen UNet + CFG + x0 target) compiles as its OWN executable — the
+    # functional mirror of the reference's separate SDS backward
+    # (``gaussian_surfel_mvdream.py:465-469``), and it keeps the train-step
+    # HLO small enough for the axon remote-compile transport.
+    guidance_fn.encode_latents = mv.encode_latents
+    guidance_fn.compute_target = jax.jit(
+        lambda latents, c2w, key, step, ref_ip=None: mv.compute_target(
+            latents, c2w, key, step, ref_ip=ref_ip
+        )[0]
+    )
     return guidance_fn

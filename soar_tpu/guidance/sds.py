@@ -83,17 +83,49 @@ class MultiviewGuidance:
         ref_rgb: Optional[jnp.ndarray] = None,  # [h, w, 3] image prompt
         ref_mask: Optional[jnp.ndarray] = None,
         comp_bg: Optional[jnp.ndarray] = None,
+        ref_ip: Optional[jnp.ndarray] = None,  # precomputed ip tokens
     ) -> Dict[str, jnp.ndarray]:
-        cfg = self.cfg
-        V = cfg.n_view
-        k_t, k_noise, k_enc = jax.random.split(key, 3)
+        latents = self.encode_latents(rgb, key)
+        target, t = self.compute_target(
+            latents, c2w, key, step,
+            ref_rgb=ref_rgb, ref_mask=ref_mask, comp_bg=comp_bg,
+            ref_ip=ref_ip,
+        )
+        loss = 0.5 * jnp.sum((latents - target) ** 2) / latents.shape[0]
+        grad_norm = jnp.linalg.norm(latents - target)
+        return {"loss_sds": loss, "grad_norm": grad_norm, "t": t}
 
-        # Resize renders to the diffusion resolution and VAE-encode (grad!).
+    def encode_latents(self, rgb: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        """Resize renders to the diffusion resolution and VAE-encode
+        (gradients flow).  Uses the same key-split as :meth:`compute_target`
+        so the two halves can run in SEPARATE jit programs (split-SDS mode)
+        and still reproduce the fused computation exactly."""
+        cfg = self.cfg
+        _, _, k_enc = jax.random.split(key, 3)
         size = (cfg.image_size, cfg.image_size)
         rgb_r = jax.image.resize(
             rgb, (rgb.shape[0],) + size + (3,), method="bilinear"
         )
-        latents = self.encode_fn(rgb_r, k_enc)  # [V, h, w, 4]
+        return self.encode_fn(rgb_r, k_enc)  # [V, h, w, 4]
+
+    def compute_target(
+        self,
+        latents: jnp.ndarray,
+        c2w: jnp.ndarray,
+        key: jax.Array,
+        step: jnp.ndarray,
+        ref_rgb: Optional[jnp.ndarray] = None,
+        ref_mask: Optional[jnp.ndarray] = None,
+        comp_bg: Optional[jnp.ndarray] = None,
+        ref_ip: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """The no-grad half: noise the latents, run the frozen 4-view UNet
+        with CFG, reconstruct the x0 target (``imagedream_guidance.py:
+        223-331``).  Returns (stop-gradient target latents, t)."""
+        cfg = self.cfg
+        V = cfg.n_view
+        k_t, k_noise, _ = jax.random.split(key, 3)
+        latents = jax.lax.stop_gradient(latents)
 
         # Annealed timestep window (``update_step`` + randint,
         # ``imagedream_guidance.py:223-235, 354-358``).
@@ -126,14 +158,23 @@ class MultiviewGuidance:
             "camera": camera_in,
             "num_frames": V,
         }
-        if ref_rgb is not None and self.image_embed_fn is not None:
+        if ref_ip is not None or (
+            ref_rgb is not None and self.image_embed_fn is not None
+        ):
             # Reference quirk (``imagedream_guidance.py:191-195``): the
             # ref/comp_bg composite is computed and then immediately
             # OVERWRITTEN by ``ip = to_pil_image(ref_rgb)`` — the image
             # conditioning always sees the raw reference image.  Matched
             # here; ref_mask/comp_bg stay in the signature for parity.
+            # ``ref_ip`` short-circuits with PRECOMPUTED ip tokens: the
+            # reference image is per-frame GT data, so the CLIP/Resampler
+            # forward runs once per frame at startup instead of once per
+            # step (the reference re-encodes every step, ``:195``), and the
+            # 630M-param CLIP stays out of the train-step XLA program.
             del ref_mask, comp_bg
-            img_emb = self.image_embed_fn(ref_rgb)
+            img_emb = (
+                ref_ip if ref_ip is not None else self.image_embed_fn(ref_rgb)
+            )
             context["ip"] = jnp.concatenate(
                 [
                     jnp.tile(img_emb[None], (V, 1, 1)),
@@ -169,20 +210,15 @@ class MultiviewGuidance:
                     cfg.recon_std_rescale * latents_recon * factor
                     + (1.0 - cfg.recon_std_rescale) * latents_recon
                 )
-            target = jax.lax.stop_gradient(latents_recon)
-            loss = 0.5 * jnp.sum((latents - target) ** 2) / latents.shape[0]
-            grad_norm = jnp.linalg.norm(latents - target)
+            target = latents_recon
         else:
             w = 1.0 - self.schedule.alphas_cumprod[t]
             grad = w * (noise_pred - noise)
             if cfg.grad_clip is not None:
                 grad = jnp.clip(grad, -cfg.grad_clip, cfg.grad_clip)
             grad = jnp.nan_to_num(grad)
-            target = jax.lax.stop_gradient(latents - grad)
-            loss = 0.5 * jnp.sum((latents - target) ** 2) / latents.shape[0]
-            grad_norm = jnp.linalg.norm(grad)
-
-        return {"loss_sds": loss, "grad_norm": grad_norm, "t": t}
+            target = latents - grad
+        return jax.lax.stop_gradient(target), t
 
 
 def mock_denoiser(schedule: DDPMSchedule, x0_target: Optional[jnp.ndarray] = None):

@@ -114,7 +114,20 @@ def bin_and_sort(
     starts = jnp.searchsorted(sorted_tile, boundaries, side="left")
     ends = jnp.searchsorted(sorted_tile, boundaries, side="right")
     counts = (ends - starts).astype(jnp.int32)
-    return sorted_idx, starts.astype(jnp.int32), counts, (ntx, nty)
+
+    # Capacity diagnostics (cheap reductions): splats past max_per_tile are
+    # silently dropped by the first-K gather, and surfels touching more than
+    # dup_side^2 tiles are footprint-capped — both produce wrong-but-plausible
+    # images, so they are surfaced as counters instead of failing silently.
+    dropped = jnp.sum(jnp.maximum(counts - cfg.max_per_tile, 0))
+    capped = jnp.sum(
+        (
+            ((rect_max_x - rect_min_x) > S) | ((rect_max_y - rect_min_y) > S)
+        )
+        & pre.valid
+    )
+    overflow = jnp.stack([dropped, capped]).astype(jnp.int32)
+    return sorted_idx, starts.astype(jnp.int32), counts, (ntx, nty), overflow
 
 
 @partial(
@@ -168,7 +181,9 @@ def _rasterize_core(
     K = cfg.max_per_tile
 
     pre = preprocess(g, camera, image_size, cfg)
-    sorted_idx, starts, counts, (ntx, nty) = bin_and_sort(pre, image_size, cfg)
+    sorted_idx, starts, counts, (ntx, nty), overflow = bin_and_sort(
+        pre, image_size, cfg
+    )
     NT = ntx * nty
     M = sorted_idx.shape[0]
 
@@ -262,6 +277,7 @@ def _rasterize_core(
         depth=untile(depth[..., None], 1)[..., 0],
         opac=untile(opac_out[..., None], 1)[..., 0],
         transmittance=untile(T[..., None], 1)[..., 0],
+        overflow=overflow,
     )
     if occ_colors is None:
         return main_out, None

