@@ -36,7 +36,6 @@ from .clip_vit import (
     ResamplerConfig,
     convert_clip_vit_torch_params,
     convert_resampler_torch_params,
-    init_mock_image_embed_fn,
     make_image_embed_fn,
 )
 from .networks import (
@@ -96,23 +95,37 @@ def _cast_tree(tree, dtype):
     )
 
 
+def _cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def init_mock_networks(
     key: jax.Array, shapes: NetworkShapes, n_view: int = 4
 ) -> Dict:
-    """Random-init UNet + VAE variables at the given shapes."""
-    ku, kv = jax.random.split(key)
-    hw = shapes.latent_size
-    dummy_lat = jnp.zeros((2 * n_view, hw, hw, 4))
-    dummy_t = jnp.zeros((2 * n_view,), jnp.int32)
-    dummy_ctx = {
-        "context": jnp.zeros((2 * n_view, 77, shapes.context_dim)),
-        "camera": jnp.zeros((2 * n_view, 16)),
-        "num_frames": n_view,
-    }
-    unet_vars = shapes.unet.init(ku, dummy_lat, dummy_t, dummy_ctx)
-    dummy_img = jnp.zeros((n_view, 8 * hw, 8 * hw, 3))
-    vae_vars = shapes.vae.init(kv, dummy_img)
-    return {"unet": unet_vars, "vae": vae_vars}
+    """Random-init UNet + VAE variables at the given shapes.  Runs on the
+    host CPU backend: initializing the full 320-ch UNet on the TPU costs a
+    ~6-minute remote compile of the init program and doubles peak HBM."""
+    import contextlib
+
+    cpu = _cpu_device()
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        ku, kv = jax.random.split(key)
+        hw = shapes.latent_size
+        dummy_lat = jnp.zeros((2 * n_view, hw, hw, 4))
+        dummy_t = jnp.zeros((2 * n_view,), jnp.int32)
+        dummy_ctx = {
+            "context": jnp.zeros((2 * n_view, 77, shapes.context_dim)),
+            "camera": jnp.zeros((2 * n_view, 16)),
+            "num_frames": n_view,
+        }
+        unet_vars = shapes.unet.init(ku, dummy_lat, dummy_t, dummy_ctx)
+        dummy_img = jnp.zeros((n_view, 8 * hw, 8 * hw, 3))
+        vae_vars = shapes.vae.init(kv, dummy_img)
+        return {"unet": unet_vars, "vae": vae_vars}
 
 
 def load_guidance_checkpoint(path: str, shapes: NetworkShapes) -> Dict:
@@ -192,8 +205,11 @@ def build_guidance(
         raise ValueError(
             "build_guidance needs ckpt_path, mock=True, or tiny=True"
         )
-    unet_vars = _cast_tree(variables["unet"], dtype)
-    vae_vars = _cast_tree(variables["vae"], dtype)
+    # pop + cast so the float32 originals are freed immediately (at full
+    # shape the f32 UNet alone is 3.4 GB), then commit the cast copies to
+    # the default (accelerator) device in one transfer.
+    unet_vars = jax.device_put(_cast_tree(variables.pop("unet"), dtype))
+    vae_vars = jax.device_put(_cast_tree(variables.pop("vae"), dtype))
 
     unet, vae = shapes.unet, shapes.vae
 
@@ -209,19 +225,23 @@ def build_guidance(
         eps = unet.apply(unet_vars, latents.astype(dtype), t, ctx)
         return eps.astype(jnp.float32)
 
+    # ONE copy of the image-conditioning weights, cast to the compute dtype
+    # (a second f32 CLIP copy OOMed the chip next to the UNet).
     image_embed_fn = None
+    clip_v = res_v = None
     if kind == "imagedream":
         if ckpt_path is not None and "clip" in variables and "resampler" in variables:
-            image_embed_fn = make_image_embed_fn(
-                _cast_tree(variables["clip"], dtype),
-                _cast_tree(variables["resampler"], dtype),
-                shapes.clip_cfg,
-                shapes.resampler_cfg,
-            )
+            clip_v = _cast_tree(variables.pop("clip"), dtype)
+            res_v = _cast_tree(variables.pop("resampler"), dtype)
         else:
-            image_embed_fn = init_mock_image_embed_fn(
+            clip_v, res_v = _mock_clip_vars(
                 k_clip, shapes.clip_cfg, shapes.resampler_cfg
             )
+        clip_v = jax.device_put(_cast_tree(clip_v, dtype))
+        res_v = jax.device_put(_cast_tree(res_v, dtype))
+        image_embed_fn = make_image_embed_fn(
+            clip_v, res_v, shapes.clip_cfg, shapes.resampler_cfg
+        )
 
     if text_embeddings is None:
         if not (mock or tiny):
@@ -260,22 +280,69 @@ def build_guidance(
 
     # Per-frame ip precompute hook: ref images are GT data, so callers embed
     # them ONCE at startup and feed `ref_ip` through the batch — keeping the
-    # CLIP tower out of the train-step XLA program (it broke the axon remote
-    # compile transport when traced inline) and running it 1x/frame instead
-    # of 1x/step.
-    guidance_fn.embed_ref = (
-        jax.jit(image_embed_fn) if image_embed_fn is not None else None
-    )
+    # CLIP tower out of the train-step XLA program and running it 1x/frame
+    # instead of 1x/step.
+    #
+    # CRITICAL for the axon transport: the network weights are passed to the
+    # jitted programs as ARGUMENTS (via closure-free impl functions), never
+    # as closure captures — closed-over arrays bake into the serialized
+    # program as constants, and shipping the 1.7 GB UNet that way broke the
+    # remote-compile pipe.  As arguments, the full 320-ch UNet compiles in
+    # ~30 s and steps in ~13 ms (measured on the real chip).
+    if image_embed_fn is not None:
+
+        @jax.jit
+        def _embed_impl(cv, rv, img):
+            fn = make_image_embed_fn(
+                cv, rv, shapes.clip_cfg, shapes.resampler_cfg
+            )
+            return fn(img)
+
+        guidance_fn.embed_ref = lambda img: _embed_impl(clip_v, res_v, img)
+    else:
+        guidance_fn.embed_ref = None
+
     # Split-SDS handles (trainer ``split_sds=True``): the grad half
     # (resize+VAE) stays inside the train step; the no-grad half (noise +
     # frozen UNet + CFG + x0 target) compiles as its OWN executable — the
     # functional mirror of the reference's separate SDS backward
-    # (``gaussian_surfel_mvdream.py:465-469``), and it keeps the train-step
-    # HLO small enough for the axon remote-compile transport.
+    # (``gaussian_surfel_mvdream.py:465-469``).
     guidance_fn.encode_latents = mv.encode_latents
-    guidance_fn.compute_target = jax.jit(
-        lambda latents, c2w, key, step, ref_ip=None: mv.compute_target(
-            latents, c2w, key, step, ref_ip=ref_ip
-        )[0]
+
+    @jax.jit
+    def _target_impl(uv, text_emb, latents, c2w, key, step, ref_ip):
+        def denoise(lat, t, ctx):
+            c = dict(ctx)
+            for k in ("context", "camera", "ip"):
+                if k in c:
+                    c[k] = c[k].astype(dtype)
+            return unet.apply(uv, lat.astype(dtype), t, c).astype(jnp.float32)
+
+        tmp = MultiviewGuidance(gcfg, None, denoise, text_emb)
+        return tmp.compute_target(latents, c2w, key, step, ref_ip=ref_ip)[0]
+
+    guidance_fn.compute_target = (
+        lambda latents, c2w, key, step, ref_ip=None: _target_impl(
+            unet_vars, text_embeddings, latents, c2w, key, step, ref_ip
+        )
     )
     return guidance_fn
+
+
+def _mock_clip_vars(key, clip_cfg, resampler_cfg):
+    """Random-init CLIP + Resampler variable trees (on the CPU backend;
+    see :func:`init_mock_networks`)."""
+    import contextlib
+
+    from .clip_vit import CLIPViT, Resampler
+
+    cpu = _cpu_device()
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        k1, k2 = jax.random.split(key)
+        dummy_img = jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3))
+        clip_vars = CLIPViT(clip_cfg).init(k1, dummy_img)
+        n_tok = 1 + (clip_cfg.image_size // clip_cfg.patch_size) ** 2
+        dummy_tok = jnp.zeros((1, n_tok, clip_cfg.width))
+        res_vars = Resampler(resampler_cfg).init(k2, dummy_tok)
+        return clip_vars, res_vars

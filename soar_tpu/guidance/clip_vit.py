@@ -328,17 +328,3 @@ def make_image_embed_fn(
     return fn
 
 
-def init_mock_image_embed_fn(
-    key: jax.Array,
-    clip_cfg: CLIPVisionConfig = CLIPVisionConfig(),
-    resampler_cfg: ResamplerConfig = ResamplerConfig(),
-):
-    """Random-init full-shape encoder (no pretrained weights available in
-    this environment) — exercises the real architecture end-to-end."""
-    k1, k2 = jax.random.split(key)
-    dummy_img = jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3))
-    clip_vars = CLIPViT(clip_cfg).init(k1, dummy_img)
-    n_tok = 1 + (clip_cfg.image_size // clip_cfg.patch_size) ** 2
-    dummy_tok = jnp.zeros((1, n_tok, clip_cfg.width))
-    res_vars = Resampler(resampler_cfg).init(k2, dummy_tok)
-    return make_image_embed_fn(clip_vars, res_vars, clip_cfg, resampler_cfg)
