@@ -66,7 +66,7 @@ def main():
     )
     settings = RenderSettings(
         use_explicit=False,
-        raster=RasterConfig(max_per_tile=96, dup_side=3),
+        raster=RasterConfig(max_per_tile=96, dup_side=5),
     )
 
     @jax.jit

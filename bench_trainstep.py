@@ -111,37 +111,67 @@ def run(include_sds: bool = True):
     # the capped==0 assert below.  Body cameras keep the canary strict, and
     # head views cost the same to render so the timing is unaffected.
     cfg = TrainConfig(n_views=4, head_prob=0.0)
-    raster = RasterConfig(max_per_tile=96, dup_side=3)
+    raster = RasterConfig(max_per_tile=96, dup_side=5)
     import sys
 
     def build(guidance_fn, stage):
         state, opt = init_train_state(params, model, cfg, stage=stage)
-        fn = jax.jit(
-            make_train_step(
-                model,
-                cfg,
-                stage,
-                opt,
-                gen_size=(512, 512),
-                gt_size=(H, W),
-                normal_size=(512, 512),
-                raster=raster,
-                use_explicit=False,
-                has_normals=True,
-                lpips_fn=lpips_fn,
-                guidance_fn=guidance_fn,
-            ),
-            # NOTE: donate_argnums=(0,) would halve state memory, but the
-            # axon remote transport host-copies donated buffers and races
-            # their deletion ("Array has been deleted"); leave undonated.
+        raw = make_train_step(
+            model,
+            cfg,
+            stage,
+            opt,
+            gen_size=(512, 512),
+            gt_size=(H, W),
+            normal_size=(512, 512),
+            raster=raster,
+            use_explicit=False,
+            has_normals=True,
+            lpips_fn=lpips_fn,
+            guidance_fn=guidance_fn,
+            # Production execution mode: the UNet target runs as its own
+            # program (the fused graph's captured weights exceed the axon
+            # remote-compile transport); with the diffusion weights resident
+            # the gen views render in sequential chunks of 2 to bound the
+            # live composite buffers.
+            split_sds=guidance_fn is not None,
+            gen_chunk=2 if guidance_fn is not None else None,
+            # GT residuals fit next to the (CLIP-freed) diffusion weights;
+            # keeping them saves the GT re-render in the backward (~10%).
+            remat_gt=False,
         )
-        return state, fn
+        fn = jax.jit(raw)
+        # NOTE: donate_argnums=(0,) would halve state memory, but the
+        # axon remote transport host-copies donated buffers and races
+        # their deletion ("Array has been deleted"); leave undonated.
+        prelude = (
+            jax.jit(raw.sds_prelude) if raw.sds_prelude is not None else None
+        )
+        return state, fn, prelude, guidance_fn
 
-    def time_steps(state, step_fn, label, iters=10):
+    def time_steps(state, step_fn, prelude, guidance_fn, label, iters=10):
         key = jax.random.PRNGKey(0)
         batch = make_gt_batch(ds, model, 0)
+        ref_ip = None
+        if prelude is not None and guidance_fn.embed_ref is not None:
+            # Per-frame ip tokens are precomputed once in production
+            # (cli.train); one frame here, then the CLIP tower is freed.
+            ref_ip = jax.block_until_ready(
+                guidance_fn.embed_ref(jnp.asarray(ds.normal_F[0]))
+            )
+            guidance_fn.release_image_encoder()
+
+        def one_step(state, batch, k):
+            if prelude is not None:
+                lat, c2w, k_sds = prelude(state, batch, k)
+                batch = dict(batch)
+                batch["sds_target"] = guidance_fn.compute_target(
+                    lat, c2w, k_sds, state.step, ref_ip=ref_ip
+                )
+            return step_fn(state, batch, k)
+
         t0 = time.time()
-        state, metrics = step_fn(state, batch, key)
+        state, metrics = one_step(state, batch, key)
         l = float(metrics["loss"])
         print(f"[{label}] compile+1st: {time.time()-t0:.1f}s loss={l:.4f}",
               file=sys.stderr)
@@ -152,7 +182,7 @@ def run(include_sds: bool = True):
             t0 = time.time()
             for _ in range(iters):
                 key, k1 = jax.random.split(key)
-                state, metrics = step_fn(state, batch, k1)
+                state, metrics = one_step(state, batch, k1)
             l = float(metrics["loss"])
             assert l == l, "loss is NaN"
             dt = min(dt, time.time() - t0)

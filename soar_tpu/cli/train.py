@@ -294,6 +294,8 @@ def main(argv=None):
                     f"precomputed ip tokens for {len(refs)} frames "
                     f"({time.time()-t_ip:.1f}s)"
                 )
+                # All frames embedded: free the 1.3 GB CLIP tower from HBM.
+                guidance_fn.release_image_encoder()
 
         state, opt = init_train_state(
             params, model, cfg, seed=args.seed, stage=stage_cfg
@@ -313,6 +315,11 @@ def main(argv=None):
             lpips_fn=lpips_fn,
             guidance_fn=guidance_fn,
             split_sds=split_sds,
+            # With the diffusion weights resident, bound the live gen-view
+            # composite buffers (sequential chunks of 2); GT residuals fit
+            # once the CLIP tower is released, so only the gen pass remats.
+            gen_chunk=2 if guidance_fn is not None else None,
+            remat_gt=False,
         )
         step_fn = jax.jit(raw_step)
         prelude_fn = jax.jit(raw_step.sds_prelude) if split_sds else None

@@ -226,22 +226,33 @@ def build_guidance(
         return eps.astype(jnp.float32)
 
     # ONE copy of the image-conditioning weights, cast to the compute dtype
-    # (a second f32 CLIP copy OOMed the chip next to the UNet).
+    # (a second f32 CLIP copy OOMed the chip next to the UNet), held in a
+    # mutable holder so release_image_encoder can actually free the HBM.
     image_embed_fn = None
-    clip_v = res_v = None
+    _enc_holder = {"clip": None, "res": None}
     if kind == "imagedream":
         if ckpt_path is not None and "clip" in variables and "resampler" in variables:
-            clip_v = _cast_tree(variables.pop("clip"), dtype)
-            res_v = _cast_tree(variables.pop("resampler"), dtype)
+            clip_v = variables.pop("clip")
+            res_v = variables.pop("resampler")
         else:
             clip_v, res_v = _mock_clip_vars(
                 k_clip, shapes.clip_cfg, shapes.resampler_cfg
             )
-        clip_v = jax.device_put(_cast_tree(clip_v, dtype))
-        res_v = jax.device_put(_cast_tree(res_v, dtype))
-        image_embed_fn = make_image_embed_fn(
-            clip_v, res_v, shapes.clip_cfg, shapes.resampler_cfg
-        )
+        _enc_holder["clip"] = jax.device_put(_cast_tree(clip_v, dtype))
+        _enc_holder["res"] = jax.device_put(_cast_tree(res_v, dtype))
+        del clip_v, res_v
+
+        def image_embed_fn(img):
+            if _enc_holder["clip"] is None:
+                raise RuntimeError(
+                    "image encoder released (release_image_encoder); "
+                    "rebuild the guidance to embed again"
+                )
+            fn = make_image_embed_fn(
+                _enc_holder["clip"], _enc_holder["res"],
+                shapes.clip_cfg, shapes.resampler_cfg,
+            )
+            return fn(img)
 
     if text_embeddings is None:
         if not (mock or tiny):
@@ -298,9 +309,25 @@ def build_guidance(
             )
             return fn(img)
 
-        guidance_fn.embed_ref = lambda img: _embed_impl(clip_v, res_v, img)
+        def _embed_ref(img):
+            if _enc_holder["clip"] is None:
+                raise RuntimeError(
+                    "image encoder released (release_image_encoder was "
+                    "called); rebuild the guidance to embed again"
+                )
+            return _embed_impl(_enc_holder["clip"], _enc_holder["res"], img)
+
+        def _release():
+            """Free the 1.3 GB CLIP tower from HBM once the per-frame ip
+            tokens are precomputed — only embed_ref needs it."""
+            _enc_holder["clip"] = None
+            _enc_holder["res"] = None
+
+        guidance_fn.embed_ref = _embed_ref
+        guidance_fn.release_image_encoder = _release
     else:
         guidance_fn.embed_ref = None
+        guidance_fn.release_image_encoder = lambda: None
 
     # Split-SDS handles (trainer ``split_sds=True``): the grad half
     # (resize+VAE) stays inside the train step; the no-grad half (noise +
@@ -326,6 +353,43 @@ def build_guidance(
             unet_vars, text_embeddings, latents, c2w, key, step, ref_ip
         )
     )
+
+    # Fused-args handles (trainer ``sds_via_params=True``): the WHOLE SDS
+    # computation traces inside the train step, but the network weights
+    # arrive as a jit ARGUMENT pytree (``arg_params``) instead of closure
+    # constants — transport-safe, and it removes the split mode's duplicate
+    # gen-view forward + two extra program dispatches per step.  Image
+    # conditioning must come as precomputed ``ref_ip`` tokens (the CLIP
+    # tower stays out of the step).
+    guidance_fn.arg_params = {
+        "unet": unet_vars,
+        "vae": vae_vars,
+        "text": text_embeddings,
+    }
+
+    def apply_with_params(gp, inp, c2w, step, key, ref_rgb=None,
+                          ref_mask=None, comp_bg=None, ref_ip=None):
+        def enc(images01, k):
+            z = vae.apply(gp["vae"], images01.astype(dtype), k)
+            return z.astype(jnp.float32)
+
+        def den(lat, t, ctx):
+            c = dict(ctx)
+            for kk in ("context", "camera", "ip"):
+                if kk in c:
+                    c[kk] = c[kk].astype(dtype)
+            return unet.apply(gp["unet"], lat.astype(dtype), t, c).astype(
+                jnp.float32
+            )
+
+        tmp = MultiviewGuidance(gcfg, enc, den, gp["text"])
+        return tmp(
+            inp, c2w, key, step,
+            ref_mask=ref_mask, comp_bg=comp_bg,
+            ref_ip=ref_ip if kind == "imagedream" else None,
+        )
+
+    guidance_fn.apply_with_params = apply_with_params
     return guidance_fn
 
 

@@ -45,7 +45,10 @@ class RasterConfig:
     sort_descending: bool = False
     tile: int = 16  # BLOCK_X/BLOCK_Y (config.h)
     max_per_tile: int = 96  # static per-tile compositing capacity
-    dup_side: int = 3  # static cap: each surfel touches <= dup_side^2 tiles
+    # Static cap: each surfel touches <= dup_side^2 tiles.  5 covers the fat
+    # outlier surfels that 3 footprint-capped in production scenes (~0.1%/
+    # render), at a measured +1.6% render cost — the sort is not dominant.
+    dup_side: int = 5
     scale_modifier: float = 1.0
     low_pass: float = 0.3  # 2D covariance dilation (forward.cu:119-120)
     alpha_clamp: float = 0.99

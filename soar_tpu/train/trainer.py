@@ -97,6 +97,10 @@ def make_train_step(
     shard_views: Optional[Callable] = None,
     lpips_fn: Optional[Callable] = None,
     split_sds: bool = False,
+    sds_via_params: bool = False,
+    remat_gen: Optional[bool] = None,
+    remat_gt: Optional[bool] = None,
+    gen_chunk: Optional[int] = None,
 ):
     """Build the jitted training step for one stage.
 
@@ -122,6 +126,13 @@ def make_train_step(
     small enough for the axon remote-compile transport.
     """
     nv = n_views or cfg.n_views
+    # remat default: only when SDS guidance shares HBM with the step (the
+    # diffusion weights leave no room for saved composite intermediates);
+    # without guidance the un-rematted step is ~40% faster.
+    if remat_gen is None:
+        remat_gen = guidance_fn is not None
+    if remat_gt is None:
+        remat_gt = remat_gen
     gen_settings = RenderSettings(
         use_explicit=use_explicit, gen_view=True, raster=raster
     )
@@ -180,22 +191,27 @@ def make_train_step(
                 attrs=attrs,
             )
 
-        if shard_views is not None:
-            # Multi-chip: batched render so GSPMD can shard the view axis.
-            gen = jax.vmap(render_gen)(gen_cams)
+        # Batched render over the view axis — single-chip AND sharded.  The
+        # round-1 rasterizer hit a catastrophic XLA-TPU scatter-lowering
+        # cliff under vmap (commit 1f9b4e5 unrolled views to dodge it); the
+        # packed-key-sort + dense-composite redesign has no scatters left,
+        # and on the real chip the batched backward now measures FASTER
+        # than unrolling (scripts/bench_vmap_render.py: batch-4 = 0.36x of
+        # 4x unrolled; batch-1 = 1.07x of one unrolled render, so the
+        # GSPMD per-device program is sound too).
+        #
+        # remat: the composite's [V, NT, P, K] intermediates are ~GBs at
+        # 512px x 4 views if saved for the backward; rematerializing the
+        # render trades a fwd recompute (cheap VPU work) for that HBM —
+        # without it the SDS-on step OOMs next to the 3 GB of resident
+        # diffusion weights.  gen_chunk additionally bounds the LIVE view
+        # count (lax.map processes chunks sequentially, fwd and bwd), for
+        # steps that must coexist with the diffusion weights in HBM.
+        fn = jax.checkpoint(render_gen) if remat_gen else render_gen
+        if shard_views is None and gen_chunk is not None and gen_chunk < nv:
+            gen = jax.lax.map(fn, gen_cams, batch_size=gen_chunk)
         else:
-            # Single chip: UNROLL the views.  vmapping the rasterizer batches
-            # its gather/scatter ops, which hits a catastrophic XLA-TPU
-            # lowering cliff in the backward pass (measured: minutes/step vs
-            # 70 ms/view unbatched); unrolled views keep the fast unbatched
-            # scatter lowering.
-            outs = [
-                render_gen(jax.tree_util.tree_map(lambda x: x[i], gen_cams))
-                for i in range(nv)
-            ]
-            gen = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *outs
-            )
+            gen = jax.vmap(fn)(gen_cams)
 
         # Neural-bg composite over the gen renders
         # (``renderer/gaussian_batch_renderer.py:262, 330-332``).
@@ -221,7 +237,7 @@ def make_train_step(
             "k_sds": k_sds,
         }
 
-    def loss_fn(params, bg_params, batch, key, step):
+    def loss_fn(params, bg_params, batch, key, step, gparams=None):
         frame_idx = batch["frame_idx"]
 
         # One field query serves all 7 renders of this step (the reference
@@ -234,36 +250,24 @@ def make_train_step(
 
         # ---- GT passes ----
         rand_bg = jax.random.uniform(k_rand, (3,))
-        gt = render_view(
-            params,
-            model,
-            batch["gt_cam"],
-            gt_size,
-            rand_bg,
-            frame_idx,
-            gt_settings,
-            attrs=attrs,
+        # GT renders, rematerialized like the gen pass (same HBM argument:
+        # each 512px render otherwise saves ~0.5-1 GB of composite
+        # intermediates for the backward).
+        def _gt_render(size, sett):
+            def f(p, a, cam, bg, fi):
+                return render_view(p, model, cam, size, bg, fi, sett, attrs=a)
+
+            return jax.checkpoint(f) if remat_gt else f
+
+        gt = _gt_render(gt_size, gt_settings)(
+            params, attrs, batch["gt_cam"], rand_bg, frame_idx
         )
         if has_normals:
-            gt_nF = render_view(
-                params,
-                model,
-                batch["normal_cam"],
-                normal_size,
-                jnp.ones(3),
-                frame_idx,
-                gt_settings,
-                attrs=attrs,
+            gt_nF = _gt_render(normal_size, gt_settings)(
+                params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx
             )
-            gt_nB = render_view(
-                params,
-                model,
-                batch["normal_cam"],
-                normal_size,
-                jnp.ones(3),
-                frame_idx,
-                gt_back_settings,
-                attrs=attrs,
+            gt_nB = _gt_render(normal_size, gt_back_settings)(
+                params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx
             )
 
         metrics = {}
@@ -392,7 +396,20 @@ def make_train_step(
                 guidance_inp = scale_gradient(gen["normal"], occ_w)
                 ref_rgb = batch.get("gt_normal_F")
                 ref_mask = batch.get("gt_normal_mask")
-            if split_sds:
+            if sds_via_params:
+                # Full SDS inside the step; weights arrive as the jit
+                # argument ``gparams`` (see build_guidance.apply_with_params).
+                sds_out = guidance_fn.apply_with_params(
+                    gparams,
+                    guidance_inp,
+                    c2w,
+                    step,
+                    k_sds,
+                    ref_mask=ref_mask,
+                    comp_bg=bg_rgb[0],
+                    ref_ip=batch.get("ref_ip"),
+                )
+            elif split_sds:
                 # Grad half only: the no-grad UNet target was computed in
                 # its own program (see docstring).
                 lat = guidance_fn.encode_latents(guidance_inp, k_sds)
@@ -450,10 +467,10 @@ def make_train_step(
         lat = guidance_fn.encode_latents(inp, gv["k_sds"])
         return lat, gv["c2w"], gv["k_sds"]
 
-    def train_step(state: TrainState, batch, key):
+    def train_step(state: TrainState, batch, key, gparams=None):
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, argnums=0, has_aux=True
-        )(state.params, state.bg_params, batch, key, state.step)
+        )(state.params, state.bg_params, batch, key, state.step, gparams)
         # NOTE: the background MLP is intentionally NOT optimized — the
         # reference builds a bg optimizer but never returns it
         # (``gaussian_surfel_mvdream.py:59-66``), so bg stays at init.

@@ -255,6 +255,55 @@ def test_split_sds_matches_fused(setup):
     )
 
 
+def test_sds_via_params_matches_fused(setup):
+    """The fused-args mode (weights as a jit argument pytree) must equal the
+    closure-fused step.  Image conditioning goes through precomputed ref_ip
+    in both."""
+    ds, params, model = setup
+    stage = StageConfig(
+        training_stage=1, sds_start=0,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    guidance_fn = build_guidance(
+        "imagedream", stage, key=jax.random.PRNGKey(5), tiny=True,
+        image_size=32, n_view=2,
+    )
+    batch0 = None
+    results = {}
+    for mode in ("fused", "args"):
+        cfg = TrainConfig(n_views=2, head_prob=0.0)
+        state, opt = init_train_state(params, model, cfg)
+        state = state._replace(step=jnp.ones((), jnp.int32))
+        raw = make_train_step(
+            model, cfg, stage, opt,
+            gen_size=(32, 32), gt_size=(64, 64), normal_size=(32, 32),
+            raster=RasterConfig(max_per_tile=64, dup_side=3),
+            use_explicit=True, has_normals=False,
+            guidance_fn=guidance_fn,
+            sds_via_params=(mode == "args"),
+        )
+        step_fn = jax.jit(raw)
+        batch = make_gt_batch(ds, model, 0)
+        batch["ref_ip"] = guidance_fn.embed_ref(batch["gt_rgb_crop"])
+        key = jax.random.PRNGKey(9)
+        if mode == "args":
+            new_state, metrics = step_fn(state, batch, key,
+                                         guidance_fn.arg_params)
+        else:
+            new_state, metrics = step_fn(state, batch, key)
+        results[mode] = (new_state, metrics)
+
+    m_f, m_a = results["fused"][1], results["args"][1]
+    np.testing.assert_allclose(
+        float(m_a["loss_sds"]), float(m_f["loss_sds"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(results["args"][0].params.colors),
+        np.asarray(results["fused"][0].params.colors),
+        atol=1e-5,
+    )
+
+
 def test_make_mvdream_step(setup):
     """The registry constructor must be callable with defaults overridden
     (VERDICT r1 weak #2)."""
