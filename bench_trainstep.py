@@ -216,6 +216,11 @@ def run(include_sds: bool = True):
             dtype=jnp.bfloat16,
         )
         s_sds, _ = time_steps(*build(guidance_fn, stage), "sds", iters=5)
+        # End-to-end schedule: stage 0 gates SDS until step 500
+        # (``gaussian_surfel_mvdream.py:53,441``), so the 2000-step run is
+        # 500 no-SDS + 1500 SDS steps — the number comparable to the
+        # reference's ~40 end-to-end minutes.
+        e2e_min = (500.0 / s_plain + 1500.0 / s_sds) / 60.0
         result.update(
             {
                 "metric": f"train_step_sds_512px_{n}surfels",
@@ -223,6 +228,8 @@ def run(include_sds: bool = True):
                 "unit": "steps/s",
                 "vs_baseline": round(s_sds / 0.83, 3),
                 "minutes_per_2000_steps": round(2000 / s_sds / 60, 1),
+                "end_to_end_2000step_minutes_est": round(e2e_min, 1),
+                "end_to_end_vs_baseline_40min": round(40.0 / e2e_min, 3),
             }
         )
     else:

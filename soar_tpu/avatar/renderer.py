@@ -40,6 +40,10 @@ class RenderSettings:
     gen_view: bool = False  # random novel view: zero root + axis permute
     render_front: bool = True  # False => back-surface pass (sort descending)
     raster: RasterConfig = RasterConfig()
+    # lite mode: skip the occlusion pass and the curvature / depth->normal
+    # post ops; render/normal/depth/mask values are IDENTICAL to the full
+    # render (used by the split-SDS prelude, which only needs those).
+    lite: bool = False
 
 
 # Axis permutation "+z,+x,+y" applied to gen-view points
@@ -130,7 +134,10 @@ def render_view(
         colors=colors,
     )
     occ_colors = jnp.broadcast_to(S.get_occ(params), (points.shape[0], 3))
-    if settings.render_front:
+    if settings.lite:
+        out = rasterize(g_main, camera, image_size, bg_color, main_cfg)
+        occ_out = None
+    elif settings.render_front:
         # Main + occlusion pass share preprocess/sort (both ascending).
         out, occ_out = rasterize_with_occ(
             g_main, occ_colors, camera, image_size, bg_color, main_cfg
@@ -156,8 +163,18 @@ def render_view(
     )
     # Flip y/z of the view-space normal (``:295-296``).
     normal = normal * jnp.array([1.0, -1.0, -1.0])
-    curv = normal2curv(normal, jax.lax.stop_gradient(out.opac) > 1e-5)
     normal01 = (normal + 1.0) / 2.0
+
+    if settings.lite:
+        return {
+            "render": out.color,
+            "normal": normal01,
+            "depth": out.depth,
+            "mask": out.opac,
+            "overflow": out.overflow,
+        }
+
+    curv = normal2curv(normal, jax.lax.stop_gradient(out.opac) > 1e-5)
 
     dn = depth2normal(
         out.depth, jax.lax.stop_gradient(out.opac) > 1e-5, camera, image_size

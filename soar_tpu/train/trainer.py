@@ -150,10 +150,13 @@ def make_train_step(
     )
     w = stage.loss
 
-    def gen_pass(params, bg_params, batch, key, attrs):
+    def gen_pass(params, bg_params, batch, key, attrs, settings=None):
         """Shared gen-view computation: key split, camera draw (+head
         mixing), V renders, neural-bg composite.  Used by both ``loss_fn``
-        and the split-SDS ``prelude`` so the two see byte-identical RNG."""
+        and the split-SDS ``prelude`` so the two see byte-identical RNG
+        (the prelude passes lite render settings — identical values for
+        render/mask/normal, minus the occ pass and curvature post ops)."""
+        settings = gen_settings if settings is None else settings
         k_cam, k_head, k_hflag, k_bgaug, k_rand, k_sds = jax.random.split(key, 6)
         frame_idx = batch["frame_idx"]
 
@@ -187,7 +190,7 @@ def make_train_step(
                 gen_size,
                 jnp.zeros(3),
                 frame_idx,
-                gen_settings,
+                settings,
                 attrs=attrs,
             )
 
@@ -459,7 +462,10 @@ def make_train_step(
         byte-identical to the step that will consume the target."""
         params = state.params
         attrs = None if use_explicit else query_attributes(params, model)
-        gv = gen_pass(params, state.bg_params, batch, key, attrs)
+        gv = gen_pass(
+            params, state.bg_params, batch, key, attrs,
+            settings=dataclasses.replace(gen_settings, lite=True),
+        )
         if stage.training_stage == 1:
             inp = gv["comp_rgb"]
         else:
