@@ -2,15 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline derivation (BASELINE.md): the reference trains 2000 steps in ~40 min
-on an RTX A5000 with 14 CUDA rasterizations + LPIPS + 1 ImageDream UNet per
-step (SURVEY §3.2) — i.e. ~0.83 steps/s ≈ 11.7 rasterizations/s at
-512px-class resolutions.  The headline metric is the FULL SDS-ON training
-step (``bench_trainstep.run``: 7 renders at 512px over ~125k surfels, all
-losses incl. normal-LPIPS, the 320-ch ImageDream UNet + VAE + CLIP image
-prompt in bf16, fused Adam) vs 0.83 steps/s — the same per-step work as the
-reference.  The no-SDS step and forward-render FPS at 512² (vs the implied
-11.7/s) ride along as secondary keys.  All use best-of-3 batches against
+Baseline derivation (BASELINE.md): the reference trains 2000 steps
+(1000 s0 + 1000 s1; SDS gated off for s0's first 500) in ~40 min on an
+RTX A5000 with 14 CUDA rasterizations + LPIPS per step and the ImageDream
+VAE+UNet on the 1500 SDS steps (SURVEY §3.2) — i.e. ~0.83 steps/s averaged
+over that 500 no-SDS / 1500 SDS mix.  The headline metric is OUR average
+over the same mix (``bench_trainstep.run``: each step = 7 renders at 512px
+over ~125k surfels, all losses incl. normal-LPIPS; SDS steps add the
+320-ch ImageDream UNet + VAE + CLIP image prompt in bf16; fused Adam) vs
+0.83 steps/s — the same end-to-end work as the reference.  The raw
+SDS-on-step rate, no-SDS rate, and forward-render FPS at 512² (vs the
+implied 11.7/s) ride along as secondary keys.  All use best-of-3 batches against
 the ~3-7x shared-tenancy variance of the TPU tunnel; rasterizer overflow
 counters are asserted 0.
 """

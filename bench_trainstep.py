@@ -3,18 +3,22 @@ bench.py, which calls :func:`run`; also runnable directly:
     python bench_trainstep.py
 First run populates the persistent compile cache; re-run for timings).
 
-Baseline: the reference trains 2000 steps in ~40 min on an RTX A5000
-(SURVEY §6) = 0.83 steps/s; each step there does 14 CUDA rasterizations
-(7 renders), the normal-LPIPS loss terms, AND the ImageDream VAE+UNet SDS
-forward (SURVEY §3.2).  Two configurations are timed:
+Baseline: the reference trains 2000 steps (1000 s0 + 1000 s1, SDS gated
+off for s0's first 500) in ~40 min on an RTX A5000 (SURVEY §6) =
+0.83 steps/s averaged over that 500 no-SDS / 1500 SDS mix; each SDS step
+there does 14 CUDA rasterizations (7 renders), the normal-LPIPS loss
+terms, AND the ImageDream VAE+UNet SDS forward (SURVEY §3.2).  Two
+configurations are timed and combined into the same schedule average
+(the headline vs 0.83); the raw SDS-on-step rate rides along:
 
-- **SDS-on** (headline, apples-to-apples vs 0.83): 7 renders at 512px over
+- **SDS-on**: 7 renders at 512px over
   ~125k surfels, all losses including normal-LPIPS (random-init VGG16 — the
   computation, not the weights, is what costs), and the full-shape 320-ch
   ImageDream UNet + SD VAE guidance in bf16 (random-init; the reference
   runs half-precision weights) with the GT-crop CLIP/Resampler image prompt.
-- **no-SDS** (secondary): the same step without the guidance — the
-  configuration reference users run when SDS weights are absent.
+- **no-SDS**: the same step without the guidance — the schedule's first
+  500 steps, and the configuration reference users run when SDS weights
+  are absent.
 
 The rasterizer overflow counters must be 0 (wrong-image canary).
 """
@@ -216,20 +220,23 @@ def run(include_sds: bool = True):
             dtype=jnp.bfloat16,
         )
         s_sds, _ = time_steps(*build(guidance_fn, stage), "sds", iters=5)
-        # End-to-end schedule: stage 0 gates SDS until step 500
-        # (``gaussian_surfel_mvdream.py:53,441``), so the 2000-step run is
-        # 500 no-SDS + 1500 SDS steps — the number comparable to the
-        # reference's ~40 end-to-end minutes.
+        # The reference's 0.83 steps/s is a SCHEDULE AVERAGE: its ~40 min
+        # covers 1000 s0 + 1000 s1 steps (``..._s0.yaml:137``), with SDS
+        # gated off for s0's first 500 steps
+        # (``gaussian_surfel_mvdream.py:53,441``) — i.e. 500 no-SDS + 1500
+        # SDS steps.  The apples-to-apples headline is therefore OUR average
+        # over the same 500/1500 mix; the SDS-on-step rate rides along.
         e2e_min = (500.0 / s_plain + 1500.0 / s_sds) / 60.0
+        s_avg = 2000.0 / (e2e_min * 60.0)
         result.update(
             {
-                "metric": f"train_step_sds_512px_{n}surfels",
-                "value": round(s_sds, 3),
+                "metric": f"train_2000step_schedule_avg_512px_{n}surfels",
+                "value": round(s_avg, 3),
                 "unit": "steps/s",
-                "vs_baseline": round(s_sds / 0.83, 3),
-                "minutes_per_2000_steps": round(2000 / s_sds / 60, 1),
-                "end_to_end_2000step_minutes_est": round(e2e_min, 1),
-                "end_to_end_vs_baseline_40min": round(40.0 / e2e_min, 3),
+                "vs_baseline": round(s_avg / 0.83, 3),
+                "end_to_end_2000step_minutes": round(e2e_min, 1),
+                "train_step_sds_on_steps_per_s": round(s_sds, 3),
+                "train_step_sds_on_vs_baseline_avg": round(s_sds / 0.83, 3),
             }
         )
     else:
