@@ -148,8 +148,12 @@ def run(include_sds: bool = True):
         # NOTE: donate_argnums=(0,) would halve state memory, but the
         # axon remote transport host-copies donated buffers and races
         # their deletion ("Array has been deleted"); leave undonated.
+        # Fused no-grad half (renders + VAE + UNet target, one program,
+        # weights as jit args) — 2 dispatches/step, not 3.
         prelude = (
-            jax.jit(raw.sds_prelude) if raw.sds_prelude is not None else None
+            guidance_fn.make_fused_prelude(raw.sds_prelude)
+            if raw.sds_prelude is not None
+            else None
         )
         return state, fn, prelude, guidance_fn
 
@@ -167,11 +171,8 @@ def run(include_sds: bool = True):
 
         def one_step(state, batch, k):
             if prelude is not None:
-                lat, c2w, k_sds = prelude(state, batch, k)
                 batch = dict(batch)
-                batch["sds_target"] = guidance_fn.compute_target(
-                    lat, c2w, k_sds, state.step, ref_ip=ref_ip
-                )
+                batch["sds_target"] = prelude(state, batch, k, ref_ip=ref_ip)
             return step_fn(state, batch, k)
 
         t0 = time.time()

@@ -1,0 +1,172 @@
+"""A/B one SDS-step execution config on the real chip.
+
+Usage:
+    python scripts/bench_sds_step.py [--gen-chunk N|none] [--remat-gen 0|1]
+        [--remat-gt 0|1] [--iters N] [--no-sds]
+
+Builds the exact bench_trainstep scene (125k surfels, 512px, full-shape
+mock ImageDream weights in bf16) with ONE knob combination and prints its
+steps/s — for sweeping memory/schedule configs (selective remat, chunk
+size, GT saved vs rematted) without editing the production defaults.
+"""
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen-chunk", default="2")
+    ap.add_argument("--remat-gen", type=int, default=1)
+    ap.add_argument("--remat-gt", type=int, default=0)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--no-sds", action="store_true")
+    args = ap.parse_args()
+    chunk = None if args.gen_chunk.lower() == "none" else int(args.gen_chunk)
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench_trainstep as B
+    from soar_tpu.train.config import StageConfig
+    from soar_tpu.train.trainer import make_train_step, init_train_state
+
+    # Reuse the bench's scene construction by monkey-patching its build to
+    # honor our knobs: simplest is to re-drive run() internals manually.
+    import numpy as np
+    from soar_tpu.avatar import init_avatar
+    from soar_tpu.body import make_test_body
+    from soar_tpu.data.dataset import AvatarDataset
+    from soar_tpu.field.attribute_field import AttributeFieldConfig
+    from soar_tpu.field.hashgrid import HashGridConfig
+    from soar_tpu.render.types import RasterConfig
+    from soar_tpu.train.config import TrainConfig
+    from soar_tpu.train.trainer import make_gt_batch
+
+    body = make_test_body(num_joints=10, segments_per_bone=7, ring=28)
+    F = 8
+    rng = np.random.RandomState(0)
+    sp = {
+        "betas": np.zeros((1, body.num_betas), np.float32),
+        "body_pose": (rng.randn(F, (body.num_joints - 1) * 3) * 0.05).astype(
+            np.float32
+        ),
+        "global_orient": np.zeros((F, 3), np.float32),
+        "transl": np.tile([[0.0, 0.9, -2.8]], (F, 1)).astype(np.float32),
+    }
+    fc = AttributeFieldConfig(
+        grid=HashGridConfig(
+            num_levels=16, min_res=16, max_res=2048, log2_hashmap_size=18
+        )
+    )
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in sp.items()},
+        num_subdiv=3,
+        field_cfg=fc,
+        distill_steps=0,
+    )
+    H = W = 512
+    K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]], np.float32)
+    ds = AvatarDataset(
+        images=rng.rand(F, H, W, 3).astype(np.float32),
+        masks=(rng.rand(F, H, W) > 0.5).astype(np.float32),
+        normal_F=rng.rand(F, 512, 512, 3).astype(np.float32),
+        normal_B=rng.rand(F, 512, 512, 3).astype(np.float32),
+        normal_mask=(rng.rand(F, 512, 512) > 0.5).astype(np.float32),
+        images_crop=rng.rand(F, 512, 512, 3).astype(np.float32),
+        masks_crop=(rng.rand(F, 512, 512) > 0.5).astype(np.float32),
+        smpl_params=sp,
+        w2c=np.eye(4, dtype=np.float32),
+        Ks=np.tile(K[None], (F, 1, 1)),
+        normal_Ks=np.tile(K[None], (F, 1, 1)),
+        train_idx=list(range(F)),
+        val_idx=[],
+        test_idx=[],
+    )
+    lpips_fn = B._random_lpips_fn()
+    cfg = TrainConfig(n_views=4, head_prob=0.0)
+    raster = RasterConfig(max_per_tile=96, dup_side=5)
+
+    guidance_fn = None
+    stage = StageConfig(training_stage=0)
+    if not args.no_sds:
+        from soar_tpu.guidance.build import build_guidance
+
+        stage = StageConfig(training_stage=0, sds_start=0)
+        guidance_fn = build_guidance(
+            "imagedream",
+            stage,
+            key=jax.random.PRNGKey(1),
+            mock=True,
+            image_size=256,
+            n_view=4,
+            dtype=jnp.bfloat16,
+        )
+
+    state, opt = init_train_state(params, model, cfg, stage=stage)
+    raw = make_train_step(
+        model,
+        cfg,
+        stage,
+        opt,
+        gen_size=(512, 512),
+        gt_size=(H, W),
+        normal_size=(512, 512),
+        raster=raster,
+        use_explicit=False,
+        has_normals=True,
+        lpips_fn=lpips_fn,
+        guidance_fn=guidance_fn,
+        split_sds=guidance_fn is not None,
+        gen_chunk=chunk,
+        remat_gen=bool(args.remat_gen),
+        remat_gt=bool(args.remat_gt),
+    )
+    fn = jax.jit(raw)
+    prelude = (
+        guidance_fn.make_fused_prelude(raw.sds_prelude)
+        if raw.sds_prelude is not None
+        else None
+    )
+
+    key = jax.random.PRNGKey(0)
+    batch = make_gt_batch(ds, model, 0)
+    ref_ip = None
+    if prelude is not None and guidance_fn.embed_ref is not None:
+        ref_ip = jax.block_until_ready(
+            guidance_fn.embed_ref(jnp.asarray(ds.normal_F[0]))
+        )
+        guidance_fn.release_image_encoder()
+
+    def one_step(state, batch, k):
+        if prelude is not None:
+            batch = dict(batch)
+            batch["sds_target"] = prelude(state, batch, k, ref_ip=ref_ip)
+        return fn(state, batch, k)
+
+    t0 = time.time()
+    state, metrics = one_step(state, batch, key)
+    print(
+        f"compile+1st: {time.time()-t0:.1f}s loss={float(metrics['loss']):.4f}",
+        file=sys.stderr,
+    )
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.time()
+        for _ in range(args.iters):
+            key, k1 = jax.random.split(key)
+            state, metrics = one_step(state, batch, k1)
+        l = float(metrics["loss"])
+        assert l == l
+        best = min(best, time.time() - t0)
+    print(
+        f"gen_chunk={chunk} remat_gen={args.remat_gen} remat_gt={args.remat_gt}"
+        f" sds={guidance_fn is not None}: {args.iters/best:.3f} steps/s"
+        f" ({best/args.iters*1000:.0f} ms/step)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -322,7 +322,13 @@ def main(argv=None):
             remat_gt=False,
         )
         step_fn = jax.jit(raw_step)
-        prelude_fn = jax.jit(raw_step.sds_prelude) if split_sds else None
+        # Fused no-grad half: lite gen renders + VAE + frozen-UNet target in
+        # ONE program (weights as jit args) — 2 dispatches/step, not 3.
+        prelude_fn = (
+            guidance_fn.make_fused_prelude(raw_step.sds_prelude)
+            if split_sds
+            else None
+        )
         from ..avatar import RenderSettings, render_view
         from ..train.observe import MetricLogger, StepTimer, dump_debug_images, profile_trace
 
@@ -351,14 +357,12 @@ def main(argv=None):
                     batch["ref_ip"] = jnp.asarray(ip_table[frame])
             with timer.phase("step"):
                 if prelude_fn is not None:
-                    # split-SDS: gen-pass forward + latents (program 1),
-                    # frozen-UNet x0 target (program 2), then the train step
-                    # (program 3) consumes the target — see
+                    # split-SDS: the fused no-grad half (gen renders +
+                    # VAE + frozen-UNet x0 target, program 1), then the
+                    # train step (program 2) consumes the target — see
                     # make_train_step's docstring.
-                    lat, c2w, k_sds = prelude_fn(state, batch, k1)
-                    batch["sds_target"] = guidance_fn.compute_target(
-                        lat, c2w, k_sds, state.step,
-                        ref_ip=batch.get("ref_ip"),
+                    batch["sds_target"] = prelude_fn(
+                        state, batch, k1, ref_ip=batch.get("ref_ip")
                     )
                 state, metrics = step_fn(state, batch, k1)
             if trace_ctx and it + 1 == args.trace_steps:

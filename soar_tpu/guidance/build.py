@@ -354,6 +354,31 @@ def build_guidance(
         )
     )
 
+    def make_fused_prelude(prelude_fn):
+        """ONE program for the whole no-grad SDS half: lite gen renders +
+        VAE encode (``prelude_fn``, the trainer's raw ``sds_prelude``) +
+        frozen-UNet x0 target — replacing the prelude/target two-dispatch
+        sequence.  The diffusion weights still arrive as jit ARGUMENTS
+        (axon transport rule above), and XLA can overlap the UNet with the
+        tail of the renders.  Returns ``fused(state, batch, key, ref_ip)
+        -> sds_target``."""
+
+        @jax.jit
+        def _fused(state, batch, key, uv, text_emb, ref_ip):
+            latents, c2w, k_sds = prelude_fn(state, batch, key)
+            return _target_impl(
+                uv, text_emb, latents, c2w, k_sds, state.step, ref_ip
+            )
+
+        def fused(state, batch, key, ref_ip=None):
+            return _fused(
+                state, batch, key, unet_vars, text_embeddings, ref_ip
+            )
+
+        return fused
+
+    guidance_fn.make_fused_prelude = make_fused_prelude
+
     # Fused-args handles (trainer ``sds_via_params=True``): the WHOLE SDS
     # computation traces inside the train step, but the network weights
     # arrive as a jit ARGUMENT pytree (``arg_params``) instead of closure

@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core.camera import Camera
 from .composite import composite_weights, finalize, splat_alpha
@@ -196,6 +197,18 @@ def _rasterize_core(
     slot_valid = k_ar[None, :] < jnp.minimum(counts, K)[:, None]
     gidx = sorted_idx[entry]  # [NT, K] surfel ids
 
+    # Selective-remat boundary (``raster_gather`` policy in the trainer):
+    # everything downstream of {gidx, slot_valid, overflow, the packed
+    # gather} is cheap per-pixel VPU math, while everything upstream
+    # includes the 3M-element sort.  Naming these ~12 MB of per-tile
+    # residuals lets ``jax.checkpoint(policy=save_only_these_names(...))``
+    # keep them for the backward — which then never re-runs preprocess
+    # binning or the sort — while the [tiles, pixels, K] composite buffers
+    # (~1 GB/view at 512px) still get rematerialized instead of saved.
+    gidx = checkpoint_name(gidx, "raster_gidx")
+    slot_valid = checkpoint_name(slot_valid, "raster_slot_valid")
+    overflow = checkpoint_name(overflow, "raster_overflow")
+
     # ONE wide-row gather instead of ~10 narrow ones: TPU gather cost is per
     # ROW, so packing all per-surfel attributes into one [N, 20+C+?] matrix
     # cuts the gather stage ~10x.
@@ -213,7 +226,7 @@ def _rasterize_core(
         ],
         axis=-1,
     )
-    g = packed[gidx]  # [NT, K, 21+C]
+    g = checkpoint_name(packed[gidx], "raster_gather")  # [NT, K, 21+C]
     xy = g[..., 0:2]
     conic = g[..., 2:5]
     opac = g[..., 5]
@@ -295,7 +308,7 @@ def _rasterize_core(
         cfg.alpha_min,
     )
     weights_b, t_final_b = composite_weights(alpha_b, cfg.transmittance_min)
-    occ_g = occ_colors[gidx]
+    occ_g = checkpoint_name(occ_colors[gidx], "raster_occ_gather")
     Tb = jnp.minimum(1.0 - 1e-6, t_final_b)
     color_b = (
         jnp.einsum("npk,nkc->npc", weights_b, occ_g) + Tb[..., None] * bg

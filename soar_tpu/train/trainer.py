@@ -133,6 +133,20 @@ def make_train_step(
         remat_gen = guidance_fn is not None
     if remat_gt is None:
         remat_gt = remat_gen
+    # Selective remat: save the rasterizer's ~12 MB/view post-sort per-tile
+    # gathers (named in ``render/tiled.py``) so the backward recompute skips
+    # preprocess binning and the 3M-element sort entirely; only the cheap
+    # [tiles, pixels, K] per-pixel expansion is rematerialized.
+    raster_policy = jax.checkpoint_policies.save_only_these_names(
+        "raster_gather",
+        "raster_gidx",
+        "raster_slot_valid",
+        "raster_overflow",
+        "raster_occ_gather",
+    )
+
+    def remat(f):
+        return jax.checkpoint(f, policy=raster_policy)
     gen_settings = RenderSettings(
         use_explicit=use_explicit, gen_view=True, raster=raster
     )
@@ -210,7 +224,7 @@ def make_train_step(
         # diffusion weights.  gen_chunk additionally bounds the LIVE view
         # count (lax.map processes chunks sequentially, fwd and bwd), for
         # steps that must coexist with the diffusion weights in HBM.
-        fn = jax.checkpoint(render_gen) if remat_gen else render_gen
+        fn = remat(render_gen) if remat_gen else render_gen
         if shard_views is None and gen_chunk is not None and gen_chunk < nv:
             gen = jax.lax.map(fn, gen_cams, batch_size=gen_chunk)
         else:
@@ -260,7 +274,7 @@ def make_train_step(
             def f(p, a, cam, bg, fi):
                 return render_view(p, model, cam, size, bg, fi, sett, attrs=a)
 
-            return jax.checkpoint(f) if remat_gt else f
+            return remat(f) if remat_gt else f
 
         gt = _gt_render(gt_size, gt_settings)(
             params, attrs, batch["gt_cam"], rand_bg, frame_idx

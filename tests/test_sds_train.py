@@ -220,7 +220,7 @@ def test_split_sds_matches_fused(setup):
     from soar_tpu.train.trainer import TrainState
 
     results = {}
-    for mode in ("fused", "split"):
+    for mode in ("fused", "split", "split_fused_prelude"):
         cfg = TrainConfig(n_views=2, head_prob=0.4)
         state, opt = init_train_state(params, model, cfg)
         # step=1 so the SDS gate (step > sds_start) is open
@@ -230,7 +230,7 @@ def test_split_sds_matches_fused(setup):
             gen_size=(32, 32), gt_size=(64, 64), normal_size=(32, 32),
             raster=RasterConfig(max_per_tile=64, dup_side=3),
             use_explicit=True, has_normals=False,
-            guidance_fn=guidance_fn, split_sds=(mode == "split"),
+            guidance_fn=guidance_fn, split_sds=(mode != "fused"),
         )
         step_fn = jax.jit(raw)
         batch = make_gt_batch(ds, model, 0)
@@ -241,17 +241,31 @@ def test_split_sds_matches_fused(setup):
             batch["sds_target"] = guidance_fn.compute_target(
                 lat, c2w, k_sds, state.step
             )
+        elif mode == "split_fused_prelude":
+            # The production one-program no-grad half (cli.train / bench).
+            fused_prelude = guidance_fn.make_fused_prelude(raw.sds_prelude)
+            batch["sds_target"] = fused_prelude(state, batch, key)
         new_state, metrics = step_fn(state, batch, key)
         results[mode] = (new_state, metrics)
 
-    m_f, m_s = results["fused"][1], results["split"][1]
+    m_f = results["fused"][1]
+    for mode in ("split", "split_fused_prelude"):
+        np.testing.assert_allclose(
+            float(results[mode][1]["loss_sds"]),
+            float(m_f["loss_sds"]),
+            rtol=1e-4,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(results[mode][0].params.colors),
+            np.asarray(results["fused"][0].params.colors),
+            atol=1e-5,
+        )
+    # The two split variants are the same math modulo program boundaries.
     np.testing.assert_allclose(
-        float(m_s["loss_sds"]), float(m_f["loss_sds"]), rtol=1e-4, atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(results["split"][0].params.colors),
-        np.asarray(results["fused"][0].params.colors),
-        atol=1e-5,
+        np.asarray(results["split_fused_prelude"][1]["loss_sds"]),
+        np.asarray(results["split"][1]["loss_sds"]),
+        rtol=1e-6,
     )
 
 
