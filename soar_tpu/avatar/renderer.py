@@ -23,7 +23,7 @@ from ..core.camera import Camera
 from ..core.transforms import quat_normalize, quat_to_rotmat, rotmat_to_quat
 from ..field.attribute_field import attribute_field_apply
 from ..render import GaussianInputs, RasterConfig, rasterize
-from ..render.tiled import rasterize_with_occ
+from ..render.tiled import rasterize_front_back, rasterize_with_occ
 from ..render.postprocess import depth2normal, normal2curv
 from ..body.skinning import apply_point_mats, point_skinning_mats
 from . import state as S
@@ -44,6 +44,11 @@ class RenderSettings:
     # post ops; render/normal/depth/mask values are IDENTICAL to the full
     # render (used by the split-SDS prelude, which only needs those).
     lite: bool = False
+    # both_faces: render the front AND back surface passes from ONE shared
+    # preprocess/sort (``render.tiled.rasterize_front_back``); render_view
+    # then returns a (front_dict, back_dict) tuple.  Used for the GT
+    # normal-F/normal-B supervision pair, which shares a camera.
+    both_faces: bool = False
 
 
 # Axis permutation "+z,+x,+y" applied to gen-view points
@@ -120,10 +125,12 @@ def render_view(
     main_cfg = dataclasses.replace(
         settings.raster,
         render_front=False,
-        sort_descending=not settings.render_front,
-    )
-    occ_cfg = dataclasses.replace(
-        settings.raster, render_front=True, sort_descending=False
+        sort_descending=False,
+        # Back-surface pass: composite farthest-first WITHOUT re-sorting —
+        # equivalent to the reference's descending sort
+        # (``rasterizer_impl.cu:269-289``) but sharing the ascending
+        # preprocess/sort with the occlusion pass.
+        compose_reverse=not (settings.render_front or settings.both_faces),
     )
 
     g_main = GaussianInputs(
@@ -134,61 +141,63 @@ def render_view(
         colors=colors,
     )
     occ_colors = jnp.broadcast_to(S.get_occ(params), (points.shape[0], 3))
-    if settings.lite:
-        out = rasterize(g_main, camera, image_size, bg_color, main_cfg)
-        occ_out = None
-    elif settings.render_front:
-        # Main + occlusion pass share preprocess/sort (both ascending).
-        out, occ_out = rasterize_with_occ(
-            g_main, occ_colors, camera, image_size, bg_color, main_cfg
-        )
-    else:
-        # Back-surface pass (descending sort): occ pass kept separate with
-        # its own ascending order, as in the reference.
-        out = rasterize(g_main, camera, image_size, bg_color, main_cfg)
-        g_occ = GaussianInputs(
-            means3d=jax.lax.stop_gradient(posed),
-            quats=jax.lax.stop_gradient(rot_out),
-            scales=jax.lax.stop_gradient(scales),
-            opacities=ones,
-            colors=occ_colors,
-        )
-        occ_out = rasterize(g_occ, camera, image_size, bg_color, occ_cfg)
 
-    mask = out.opac > 1e-5
-    # Outside the mask, keep values but stop gradients
-    # (``rendered_normal[~normal_mask] = ...detach()``, ``:292-294``).
-    normal = jnp.where(
-        mask[..., None], out.normal, jax.lax.stop_gradient(out.normal)
-    )
-    # Flip y/z of the view-space normal (``:295-296``).
-    normal = normal * jnp.array([1.0, -1.0, -1.0])
-    normal01 = (normal + 1.0) / 2.0
+    def post(out, occ_out):
+        mask = out.opac > 1e-5
+        # Outside the mask, keep values but stop gradients
+        # (``rendered_normal[~normal_mask] = ...detach()``, ``:292-294``).
+        normal = jnp.where(
+            mask[..., None], out.normal, jax.lax.stop_gradient(out.normal)
+        )
+        # Flip y/z of the view-space normal (``:295-296``).
+        normal = normal * jnp.array([1.0, -1.0, -1.0])
+        normal01 = (normal + 1.0) / 2.0
 
-    if settings.lite:
+        if settings.lite:
+            return {
+                "render": out.color,
+                "normal": normal01,
+                "depth": out.depth,
+                "mask": out.opac,
+                "overflow": out.overflow,
+            }
+
+        curv = normal2curv(normal, jax.lax.stop_gradient(out.opac) > 1e-5)
+
+        dn = depth2normal(
+            out.depth,
+            jax.lax.stop_gradient(out.opac) > 1e-5,
+            camera,
+            image_size,
+        )
+        dn = dn * jnp.array([1.0, -1.0, -1.0])
+        dn01 = (dn + 1.0) / 2.0
+
         return {
             "render": out.color,
             "normal": normal01,
             "depth": out.depth,
+            "pred_normal": dn01,
             "mask": out.opac,
+            "occ": occ_out.color,
+            "curv": curv,
             "overflow": out.overflow,
         }
 
-    curv = normal2curv(normal, jax.lax.stop_gradient(out.opac) > 1e-5)
-
-    dn = depth2normal(
-        out.depth, jax.lax.stop_gradient(out.opac) > 1e-5, camera, image_size
+    if settings.both_faces:
+        # Front + back + occ from ONE preprocess/sort; the occ image is
+        # identical for both faces (same camera/colors/ascending order), so
+        # it is computed once and shared.
+        front, back, occ_out = rasterize_front_back(
+            g_main, occ_colors, camera, image_size, bg_color, main_cfg
+        )
+        return post(front, occ_out), post(back, occ_out)
+    if settings.lite:
+        out = rasterize(g_main, camera, image_size, bg_color, main_cfg)
+        return post(out, None)
+    # Main + occlusion pass share one preprocess/sort (the back-surface
+    # main composite just walks each tile's run farthest-first).
+    out, occ_out = rasterize_with_occ(
+        g_main, occ_colors, camera, image_size, bg_color, main_cfg
     )
-    dn = dn * jnp.array([1.0, -1.0, -1.0])
-    dn01 = (dn + 1.0) / 2.0
-
-    return {
-        "render": out.color,
-        "normal": normal01,
-        "depth": out.depth,
-        "pred_normal": dn01,
-        "mask": out.opac,
-        "occ": occ_out.color,
-        "curv": curv,
-        "overflow": out.overflow,
-    }
+    return post(out, occ_out)

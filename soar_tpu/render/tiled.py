@@ -169,6 +169,33 @@ def rasterize_with_occ(
     return _rasterize_core(g, camera, image_size, bg_color, cfg, occ_colors)
 
 
+@partial(jax.jit, static_argnames=("image_size", "cfg"))
+def rasterize_front_back(
+    g: GaussianInputs,
+    occ_colors: jnp.ndarray,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    cfg: RasterConfig = RasterConfig(),
+) -> Tuple[RenderOutputs, RenderOutputs, RenderOutputs]:
+    """Front-surface pass + back-surface pass + occlusion pass, ALL sharing
+    one preprocess / binning / sort / gather stage.
+
+    The reference renders the GT normal-front and normal-back supervision
+    views as two independent CUDA rasterizations with opposite sort orders
+    plus an occlusion pass each (``renderer/diff_gaussian_rasterizer.py:
+    247-291``, ``rasterizer_impl.cu:269-289``); since both use the same
+    camera and geometry, one ascending sort serves all three composites
+    here (the back pass walks each tile's run farthest-first — see
+    ``gather`` in ``_rasterize_core``).  Returns (front, back, occ).
+    """
+    assert not cfg.sort_descending and not cfg.compose_reverse
+    (front, back), occ = _rasterize_core(
+        g, camera, image_size, bg_color, cfg, occ_colors, also_back=True
+    )
+    return front, back, occ
+
+
 def _rasterize_core(
     g: GaussianInputs,
     camera: Camera,
@@ -176,6 +203,7 @@ def _rasterize_core(
     bg_color: jnp.ndarray,
     cfg: RasterConfig,
     occ_colors,
+    also_back: bool = False,
 ):
     H, W = image_size
     tile = cfg.tile
@@ -193,9 +221,7 @@ def _rasterize_core(
     # front-to-back composite ignores (opacity is forced to 1 in SOAR,
     # ``renderer/diff_gaussian_rasterizer.py:259``).
     k_ar = jnp.arange(K, dtype=jnp.int32)
-    entry = jnp.minimum(starts[:, None] + k_ar[None, :], M - 1)  # [NT, K]
     slot_valid = k_ar[None, :] < jnp.minimum(counts, K)[:, None]
-    gidx = sorted_idx[entry]  # [NT, K] surfel ids
 
     # Selective-remat boundary (``raster_gather`` policy in the trainer):
     # everything downstream of {gidx, slot_valid, overflow, the packed
@@ -205,7 +231,6 @@ def _rasterize_core(
     # keep them for the backward — which then never re-runs preprocess
     # binning or the sort — while the [tiles, pixels, K] composite buffers
     # (~1 GB/view at 512px) still get rematerialized instead of saved.
-    gidx = checkpoint_name(gidx, "raster_gidx")
     slot_valid = checkpoint_name(slot_valid, "raster_slot_valid")
     overflow = checkpoint_name(overflow, "raster_overflow")
 
@@ -226,15 +251,25 @@ def _rasterize_core(
         ],
         axis=-1,
     )
-    g = checkpoint_name(packed[gidx], "raster_gather")  # [NT, K, 21+C]
-    xy = g[..., 0:2]
-    conic = g[..., 2:5]
-    opac = g[..., 5]
-    depths = g[..., 6]
-    view_dot_g = g[..., 7]
-    jinv = g[..., 8:18]
-    normals = g[..., 18:21]
-    colors = g[..., 21 : 21 + C_ch]
+
+    def gather(reverse: bool):
+        """First-K gather of each tile's depth-ascending run.
+
+        ``reverse=True`` walks the run from its FAR end (offset
+        ``count-1-k``): the composite sees splats farthest-first — the
+        ``sort_descending`` back-surface semantics — and truncation keeps
+        the farthest K, exactly like first-K of a descending sort.  Only
+        (near-)equal-depth ties (already permuted by the key quantization)
+        can order differently.  This is what lets a back pass share the
+        ascending sort of a front pass.
+        """
+        if reverse:
+            off = counts[:, None] - 1 - k_ar[None, :]
+        else:
+            off = jnp.broadcast_to(k_ar[None, :], (NT, K))
+        entry = jnp.clip(starts[:, None] + off, 0, M - 1)  # [NT, K]
+        gidx = checkpoint_name(sorted_idx[entry], "raster_gidx")
+        return gidx, checkpoint_name(packed[gidx], "raster_gather")
 
     # Per-tile pixel coordinates [NT, tile*tile, 2].
     tx = (jnp.arange(NT, dtype=jnp.int32) % ntx) * tile
@@ -245,58 +280,104 @@ def _rasterize_core(
         [tx[:, None] + lx[None, :], ty[:, None] + ly[None, :]], axis=-1
     )  # [NT, P, 2]
 
-    d = xy[:, None, :, :] - pixf[:, :, None, :]  # [NT, P, K, 2]
-    alpha = splat_alpha(
-        d,
-        conic[:, None],
-        opac[:, None],
-        slot_valid[:, None],
-        cfg.alpha_clamp,
-        cfg.alpha_min,
-    )  # [NT, P, K]
-    weights, t_final = composite_weights(alpha, cfg.transmittance_min)
-
-    if cfg.surface and cfg.perpix_depth:
-        # Plane-corrected depth (``forward.cu:555-584``): only the z row of
-        # the tangent offset is needed.
-        du0 = d[..., 0] * jinv[:, None, :, 0] + d[..., 1] * jinv[:, None, :, 1]
-        du1 = d[..., 0] * jinv[:, None, :, 2] + d[..., 1] * jinv[:, None, :, 3]
-        dif_z = du0 * jinv[:, None, :, 6] + du1 * jinv[:, None, :, 9]
-        depth_k = depths[:, None, :] - dif_z
-    else:
-        depth_k = jnp.broadcast_to(depths[:, None, :], alpha.shape)
-
-    bg = jnp.asarray(bg_color)
-    color, normal, depth, opac_out, T = finalize(
-        weights,
-        t_final,
-        jnp.broadcast_to(colors[:, None], (NT, tile * tile) + colors.shape[1:]),
-        jnp.broadcast_to(normals[:, None], (NT, tile * tile) + normals.shape[1:]),
-        depth_k,
-        bg,
-        cfg.surface,
-        cfg.normalize_depth,
-    )
-
     def untile(img_flat, ch):
         img = img_flat.reshape(nty, ntx, tile, tile, ch)
         img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, ch)
         return img[:H, :W]
 
-    C = colors.shape[-1]
-    main_out = RenderOutputs(
-        color=untile(color, C),
-        normal=untile(normal, 3),
-        depth=untile(depth[..., None], 1)[..., 0],
-        opac=untile(opac_out[..., None], 1)[..., 0],
-        transmittance=untile(T[..., None], 1)[..., 0],
-        overflow=overflow,
-    )
+    bg = jnp.asarray(bg_color)
+
+    def composite_main(g):
+        """Full main-pass composite of one gathered slot order.  Returns the
+        RenderOutputs plus the (d, conic, opac, view_dot) slot tensors the
+        occlusion pass re-composites from."""
+        xy = g[..., 0:2]
+        conic = g[..., 2:5]
+        opac = g[..., 5]
+        depths = g[..., 6]
+        view_dot_g = g[..., 7]
+        jinv = g[..., 8:18]
+        normals = g[..., 18:21]
+        colors = g[..., 21 : 21 + C_ch]
+
+        d = xy[:, None, :, :] - pixf[:, :, None, :]  # [NT, P, K, 2]
+        alpha = splat_alpha(
+            d,
+            conic[:, None],
+            opac[:, None],
+            slot_valid[:, None],
+            cfg.alpha_clamp,
+            cfg.alpha_min,
+        )  # [NT, P, K]
+        weights, t_final = composite_weights(alpha, cfg.transmittance_min)
+
+        if cfg.surface and cfg.perpix_depth:
+            # Plane-corrected depth (``forward.cu:555-584``): only the z row
+            # of the tangent offset is needed.
+            du0 = (
+                d[..., 0] * jinv[:, None, :, 0]
+                + d[..., 1] * jinv[:, None, :, 1]
+            )
+            du1 = (
+                d[..., 0] * jinv[:, None, :, 2]
+                + d[..., 1] * jinv[:, None, :, 3]
+            )
+            dif_z = du0 * jinv[:, None, :, 6] + du1 * jinv[:, None, :, 9]
+            depth_k = depths[:, None, :] - dif_z
+        else:
+            depth_k = jnp.broadcast_to(depths[:, None, :], alpha.shape)
+
+        color, normal, depth, opac_out, T = finalize(
+            weights,
+            t_final,
+            jnp.broadcast_to(
+                colors[:, None], (NT, tile * tile) + colors.shape[1:]
+            ),
+            jnp.broadcast_to(
+                normals[:, None], (NT, tile * tile) + normals.shape[1:]
+            ),
+            depth_k,
+            bg,
+            cfg.surface,
+            cfg.normalize_depth,
+        )
+        out = RenderOutputs(
+            color=untile(color, C_ch),
+            normal=untile(normal, 3),
+            depth=untile(depth[..., None], 1)[..., 0],
+            opac=untile(opac_out[..., None], 1)[..., 0],
+            transmittance=untile(T[..., None], 1)[..., 0],
+            overflow=overflow,
+        )
+        return out, (d, conic, opac, view_dot_g)
+
+    if also_back:
+        gidx, g_f = gather(False)
+        main_out, front_slots = composite_main(g_f)
+        _, g_b = gather(True)
+        back_out, _ = composite_main(g_b)
+        main_ret = (main_out, back_out)
+    else:
+        gidx, g_f = gather(cfg.compose_reverse)
+        main_out, front_slots = composite_main(g_f)
+        if cfg.compose_reverse and occ_colors is not None:
+            # The occ pass is always front-to-back ascending
+            # (``diff_gaussian_rasterizer.py:281-291``): re-gather forward.
+            gidx, g_ff = gather(False)
+            front_slots = (
+                g_ff[..., 0:2][:, None, :, :] - pixf[:, :, None, :],
+                g_ff[..., 2:5],
+                g_ff[..., 5],
+                g_ff[..., 7],
+            )
+        main_ret = main_out
+
     if occ_colors is None:
-        return main_out, None
+        return main_ret, None
 
     # ---- occlusion pass: re-composite with back-facing splats culled and
     # geometry gradients stopped (``diff_gaussian_rasterizer.py:281-291``).
+    d, conic, opac, view_dot_g = front_slots
     sg = jax.lax.stop_gradient
     front = view_dot_g <= -0.01
     alpha_b = splat_alpha(
@@ -314,11 +395,12 @@ def _rasterize_core(
         jnp.einsum("npk,nkc->npc", weights_b, occ_g) + Tb[..., None] * bg
     )
     Cb = occ_colors.shape[-1]
+    ref_out = main_ret[0] if also_back else main_ret
     occ_out = RenderOutputs(
         color=untile(color_b, Cb),
-        normal=main_out.normal,
-        depth=main_out.depth,
+        normal=ref_out.normal,
+        depth=ref_out.depth,
         opac=untile((1.0 - Tb)[..., None], 1)[..., 0],
         transmittance=untile(Tb[..., None], 1)[..., 0],
     )
-    return main_out, occ_out
+    return main_ret, occ_out

@@ -43,6 +43,12 @@ class RasterConfig:
     perpix_depth: bool = True
     render_front: bool = False
     sort_descending: bool = False
+    # Composite each tile's depth-ascending run farthest-first WITHOUT
+    # re-sorting — equivalent to ``sort_descending`` (incl. keeping the
+    # farthest K under truncation; only quantization-tied depths can
+    # permute), but lets a back-surface pass share the ascending
+    # preprocess/binning/sort of a front pass (render/tiled.py).
+    compose_reverse: bool = False
     tile: int = 16  # BLOCK_X/BLOCK_Y (config.h)
     max_per_tile: int = 96  # static per-tile compositing capacity
     # Static cap: each surfel touches <= dup_side^2 tiles.  5 covers the fat

@@ -153,7 +153,6 @@ def make_train_step(
     gt_settings = RenderSettings(
         use_explicit=use_explicit, gen_view=False, raster=raster
     )
-    gt_back_settings = dataclasses.replace(gt_settings, render_front=False)
     cam_cfg = CameraSampleConfig(
         n_view=nv,
         elevation_range=cfg.elevation_range,
@@ -280,12 +279,15 @@ def make_train_step(
             params, attrs, batch["gt_cam"], rand_bg, frame_idx
         )
         if has_normals:
-            gt_nF = _gt_render(normal_size, gt_settings)(
-                params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx
-            )
-            gt_nB = _gt_render(normal_size, gt_back_settings)(
-                params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx
-            )
+            # The normal-F/normal-B supervision pair shares one camera, so
+            # both faces (plus the occ pass) composite from ONE shared
+            # preprocess/sort (``RenderSettings.both_faces``) — the
+            # reference runs two full CUDA rasterizations with opposite
+            # sort orders (``gaussian_surfel_mvdream.py:334-341``).
+            gt_nF, gt_nB = _gt_render(
+                normal_size,
+                dataclasses.replace(gt_settings, both_faces=True),
+            )(params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx)
 
         metrics = {}
         loss = jnp.zeros(())

@@ -300,6 +300,73 @@ def test_gradients_finite_difference():
         np.testing.assert_allclose(float(grad[i, j]), fd, rtol=2e-2, atol=1e-4)
 
 
+def test_compose_reverse_matches_descending_sort():
+    """Back-surface pass via reversed per-tile composite (shared ascending
+    sort) == the descending-sort back pass, in values AND gradients — both
+    with ample capacity and under max_per_tile truncation (farthest-K kept
+    either way)."""
+    g = make_scene(n=60)
+    cam = make_camera()
+    bg = jnp.array([0.2, 0.1, 0.4])
+
+    for K in (96, 4):  # ample / truncating
+        cfg_desc = RasterConfig(max_per_tile=K, dup_side=4,
+                                sort_descending=True)
+        cfg_rev = RasterConfig(max_per_tile=K, dup_side=4,
+                               compose_reverse=True)
+
+        def loss(xyz, colors, cfg):
+            out = rasterize(
+                g._replace(means3d=xyz, colors=colors), cam, (64, 64), bg, cfg
+            )
+            return (
+                jnp.sum(out.color**2) + jnp.sum(out.normal * out.depth[..., None]),
+                out,
+            )
+
+        (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+            g.means3d, g.colors, cfg_desc
+        )
+        (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+            g.means3d, g.colors, cfg_rev
+        )
+        np.testing.assert_allclose(o2.color, o1.color, atol=1e-5)
+        np.testing.assert_allclose(o2.normal, o1.normal, atol=1e-5)
+        np.testing.assert_allclose(o2.depth, o1.depth, atol=1e-5)
+        np.testing.assert_allclose(o2.opac, o1.opac, atol=1e-5)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_rasterize_front_back_matches_separate():
+    """One-sort front+back+occ == the three separate rasterizations."""
+    from soar_tpu.render.tiled import rasterize_front_back, rasterize_with_occ
+
+    cfg = RasterConfig(max_per_tile=96, dup_side=4)
+    g = make_scene(n=50)
+    cam = make_camera()
+    bg = jnp.array([0.3, 0.3, 0.3])
+    occ_colors = jnp.asarray(
+        np.random.RandomState(1).rand(50, 3).astype(np.float32)
+    )
+
+    front, back, occ = rasterize_front_back(
+        g, occ_colors, cam, (64, 64), bg, cfg
+    )
+    front_ref, occ_ref = rasterize_with_occ(
+        g, occ_colors, cam, (64, 64), bg, cfg
+    )
+    back_ref = rasterize(
+        g, cam, (64, 64), bg,
+        RasterConfig(max_per_tile=96, dup_side=4, sort_descending=True),
+    )
+    np.testing.assert_allclose(front.color, front_ref.color, atol=1e-5)
+    np.testing.assert_allclose(back.color, back_ref.color, atol=1e-5)
+    np.testing.assert_allclose(back.normal, back_ref.normal, atol=1e-5)
+    np.testing.assert_allclose(occ.color, occ_ref.color, atol=1e-5)
+    np.testing.assert_allclose(occ.opac, occ_ref.opac, atol=1e-5)
+
+
 def test_selective_remat_gradients_identical():
     """The trainer's selective-remat policy (save only the named post-sort
     per-tile gathers, rematerialize the per-pixel composite) must be a pure
