@@ -133,13 +133,14 @@ def run(include_sds: bool = True):
             has_normals=True,
             lpips_fn=lpips_fn,
             guidance_fn=guidance_fn,
-            # Production execution mode: the UNet target runs as its own
-            # program (the fused graph's captured weights exceed the axon
-            # remote-compile transport); with the diffusion weights resident
-            # the gen views render in sequential chunks of 2 to bound the
-            # live composite buffers.
+            # Production execution mode: the no-grad SDS half runs as its
+            # own program with the diffusion weights as jit arguments.  With
+            # selective remat (only the ~12 MB/view post-sort gathers saved)
+            # the full vmap-4 gen batch fits next to the resident diffusion
+            # weights and measures ~9% faster than sequential chunks of 2
+            # (0.946 vs 0.869 steps/s).
             split_sds=guidance_fn is not None,
-            gen_chunk=2 if guidance_fn is not None else None,
+            gen_chunk=None,
             # GT residuals fit next to the (CLIP-freed) diffusion weights;
             # keeping them saves the GT re-render in the backward (~10%).
             remat_gt=False,

@@ -11,8 +11,11 @@ size, GT saved vs rematted) without editing the production defaults.
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

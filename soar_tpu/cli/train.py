@@ -315,10 +315,11 @@ def main(argv=None):
             lpips_fn=lpips_fn,
             guidance_fn=guidance_fn,
             split_sds=split_sds,
-            # With the diffusion weights resident, bound the live gen-view
-            # composite buffers (sequential chunks of 2); GT residuals fit
-            # once the CLIP tower is released, so only the gen pass remats.
-            gen_chunk=2 if guidance_fn is not None else None,
+            # With selective remat (named rasterizer residuals) the full
+            # vmap-4 gen batch fits next to the resident diffusion weights
+            # — measured faster than sequential chunks of 2; GT residuals
+            # fit once the CLIP tower is released, so GT passes stay saved.
+            gen_chunk=None,
             remat_gt=False,
         )
         step_fn = jax.jit(raw_step)
