@@ -10,7 +10,8 @@ forced by the environment and documented here:
   triangulation, which the decimation step absorbs);
 - decimation/cleanup use vertex-clustering + degenerate-face removal instead
   of pymeshlab/open3d (not in this image); Poisson reconstruction
-  (``mesh_utils.py:6``) requires open3d and is gated with a clear error.
+  (``mesh_utils.py:6``) is re-implemented from scratch as a spectral
+  uniform-grid solve in :mod:`.poisson`.
 """
 
 from __future__ import annotations
@@ -195,10 +196,26 @@ def marching_tetrahedra(
 
     if not faces:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-    return (
-        np.asarray(verts_list, np.float32),
-        np.asarray(faces, np.int64),
+    verts_np = np.asarray(verts_list, np.float32)
+    faces_np = np.asarray(faces, np.int64)
+    # Consistent outward winding: the 6-tet cube decomposition has mixed
+    # parity, so per-tet case emission alone leaves ~half the faces flipped.
+    # Orient every face against the field gradient at its centroid (the
+    # inside>level region has increasing field, so outward normals must
+    # oppose the gradient).
+    grad = np.stack(np.gradient(field.astype(np.float32)), axis=-1)
+    cent = verts_np[faces_np].mean(axis=1)
+    ci = np.clip(
+        np.round(cent).astype(np.int64), 0, np.asarray(field.shape) - 1
     )
+    gc = grad[ci[:, 0], ci[:, 1], ci[:, 2]]
+    fn = np.cross(
+        verts_np[faces_np[:, 1]] - verts_np[faces_np[:, 0]],
+        verts_np[faces_np[:, 2]] - verts_np[faces_np[:, 0]],
+    )
+    flip = np.sum(fn * gc, axis=1) > 0
+    faces_np[flip] = faces_np[flip][:, ::-1]
+    return verts_np, faces_np
 
 
 def clean_mesh(
@@ -287,9 +304,10 @@ def write_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
             f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
 
 
-def poisson_reconstruct(*args, **kwargs):
-    """``mesh_utils.py:6`` requires open3d, which is not in this image."""
-    raise NotImplementedError(
-        "Poisson reconstruction needs open3d (not available here); use "
-        "extract_mesh (density isosurface) instead"
-    )
+def poisson_reconstruct(points, normals=None, **kwargs):
+    """Poisson surface reconstruction from oriented points
+    (``geometry/mesh_utils.py:6``, ``utils/general_utils.py:248``) —
+    dependency-free spectral implementation in :mod:`.poisson`."""
+    from .poisson import poisson_reconstruct as _pr
+
+    return _pr(points, normals, **kwargs)
