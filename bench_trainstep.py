@@ -115,7 +115,25 @@ def run(include_sds: bool = True):
     # the capped==0 assert below.  Body cameras keep the canary strict, and
     # head views cost the same to render so the timing is unaffected.
     cfg = TrainConfig(n_views=4, head_prob=0.0)
+    # The no-SDS and SDS-on programs measured here are EXACTLY the two
+    # programs cli.train runs in production: stage-0 steps <= sds_start use
+    # a guidance-free build (two-tier raster everywhere, un-rematted), and
+    # later steps the SDS build (single-tier gen renders — the trainer's
+    # measured default next to resident diffusion weights — two-tier GT).
+    # SOAR_BENCH_FAT_BUDGET / _FAT_GEN / _FAT_GT override the two-tier fat
+    # budget (0 = single-tier 5x5 grid for every surfel) for A/B runs —
+    # shared, gen-path-only, and gt-path-only respectively.
+    import os
+
+    def _raster(env):
+        fb = os.environ.get(env, os.environ.get("SOAR_BENCH_FAT_BUDGET"))
+        if fb is None:
+            return None
+        return RasterConfig(max_per_tile=96, dup_side=5, fat_budget=int(fb))
+
     raster = RasterConfig(max_per_tile=96, dup_side=5)
+    raster_gen = _raster("SOAR_BENCH_FAT_GEN")
+    raster_gt = _raster("SOAR_BENCH_FAT_GT")
     import sys
 
     def build(guidance_fn, stage):
@@ -129,6 +147,8 @@ def run(include_sds: bool = True):
             gt_size=(H, W),
             normal_size=(512, 512),
             raster=raster,
+            raster_gen=raster_gen,
+            raster_gt=raster_gt,
             use_explicit=False,
             has_normals=True,
             lpips_fn=lpips_fn,

@@ -95,6 +95,11 @@ def main(argv=None):
         "(default — the fused train-step graph exceeds the axon "
         "remote-compile transport); fused: single jit",
     )
+    ap.add_argument(
+        "--sds-start", type=int, default=None,
+        help="override the stage SDS warm-up length (steps <= sds_start "
+        "run a guidance-free program; stage-0 default 500)",
+    )
     args = ap.parse_args(argv)
 
     yaml_cfg = None
@@ -234,6 +239,8 @@ def main(argv=None):
             stage_cfg = dc.replace(
                 stage_cfg, loss=dc.replace(stage_cfg.loss, vgg=args.lambda_vgg)
             )
+        if args.sds_start is not None:
+            stage_cfg = dc.replace(stage_cfg, sds_start=args.sds_start)
 
         guidance_fn = None
         if args.guidance != "none":
@@ -330,6 +337,32 @@ def main(argv=None):
             if split_sds
             else None
         )
+        # Stage-0 delays SDS until sds_start (``gaussian_surfel_mvdream.py:53``).
+        # The reference still pays the UNet every one of those steps and
+        # masks the loss; here the warm-up steps run a separate
+        # guidance-free program instead — no prelude dispatch, no UNet/VAE,
+        # un-rematted renders, two-tier gen raster (~1.6x the SDS-program
+        # step rate).  Loss values are identical: the SDS program's
+        # ``sds_on`` gate zeroes the SDS term for step <= sds_start
+        # (equivalence pinned in tests/test_sds_train.py).
+        warm_step_fn = None
+        if guidance_fn is not None and stage_cfg.sds_start > 0:
+            warm_step_fn = jax.jit(
+                make_train_step(
+                    model,
+                    cfg,
+                    stage_cfg,
+                    opt,
+                    gen_size=gen_size,
+                    gt_size=ds.image_size,
+                    normal_size=normal_size,
+                    raster=raster,
+                    use_explicit=args.use_explicit,
+                    has_normals=has_normals,
+                    lpips_fn=lpips_fn,
+                    guidance_fn=None,
+                )
+            )
         from ..avatar import RenderSettings, render_view
         from ..train.observe import MetricLogger, StepTimer, dump_debug_images, profile_trace
 
@@ -357,7 +390,8 @@ def main(argv=None):
                 if ip_table is not None:
                     batch["ref_ip"] = jnp.asarray(ip_table[frame])
             with timer.phase("step"):
-                if prelude_fn is not None:
+                warm = warm_step_fn is not None and it <= stage_cfg.sds_start
+                if prelude_fn is not None and not warm:
                     # split-SDS: the fused no-grad half (gen renders +
                     # VAE + frozen-UNet x0 target, program 1), then the
                     # train step (program 2) consumes the target — see
@@ -365,7 +399,9 @@ def main(argv=None):
                     batch["sds_target"] = prelude_fn(
                         state, batch, k1, ref_ip=batch.get("ref_ip")
                     )
-                state, metrics = step_fn(state, batch, k1)
+                state, metrics = (warm_step_fn if warm else step_fn)(
+                    state, batch, k1
+                )
             if trace_ctx and it + 1 == args.trace_steps:
                 trace_ctx.__exit__(None, None, None)
                 trace_ctx = None

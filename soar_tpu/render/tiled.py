@@ -68,17 +68,59 @@ def bin_and_sort(
         jnp.floor((y + r + tile - 1) / tile), 0, nty
     ).astype(jnp.int32)
 
-    dxy = jnp.arange(S, dtype=jnp.int32)
-    dx = jnp.tile(dxy, S)  # [S*S]
-    dy = jnp.repeat(dxy, S)
-    tx = rect_min_x[:, None] + dx[None, :]
-    ty = rect_min_y[:, None] + dy[None, :]
-    slot_ok = (
-        (tx < rect_max_x[:, None])
-        & (ty < rect_max_y[:, None])
-        & pre.valid[:, None]
-    )
-    tile_id = jnp.where(slot_ok, ty * ntx + tx, NT).astype(jnp.int32)
+    # ---- two-tier slot budget (``RasterConfig.dup_side_small/fat_budget``):
+    # every surfel gets a small Ss x Ss slot grid; the fat_budget largest-
+    # radius surfels instead get the full S x S grid.  Each surfel's slots
+    # come from EXACTLY one tier (fat surfels' small slots are masked), so
+    # no tile ever composites a surfel twice.
+    Ss = min(cfg.dup_side_small, S)
+    B = min(cfg.fat_budget, N)
+    two_tier = 0 < B < N and Ss < S
+    if two_tier:
+        # Exact, scatter-free fat-set selection: the fat tier holds the
+        # first B surfels whose rect exceeds the small grid (cumsum picks
+        # them; a stable bool argsort lists their indices — batched sorts
+        # vmap cleanly where a boolean scatter may not).  Only when MORE
+        # than B surfels are wide does one miss the fat tier, and then the
+        # ``capped`` canary fires.
+        wide = (
+            ((rect_max_x - rect_min_x) > Ss)
+            | ((rect_max_y - rect_min_y) > Ss)
+        ) & pre.valid
+        in_fat = wide & (jnp.cumsum(wide) <= B)
+        fat_idx = jnp.argsort(~in_fat, stable=True)[:B]
+        fat_ok = pre.valid[fat_idx] & in_fat[fat_idx]
+    else:
+        Ss = S
+        fat_idx = None
+        in_fat = jnp.ones((N,), bool)
+
+    def slot_tiles(side, mnx, mny, mxx, mxy, ok_row):
+        dxy = jnp.arange(side, dtype=jnp.int32)
+        dx = jnp.tile(dxy, side)  # [side*side]
+        dy = jnp.repeat(dxy, side)
+        tx = mnx[:, None] + dx[None, :]
+        ty = mny[:, None] + dy[None, :]
+        ok = (tx < mxx[:, None]) & (ty < mxy[:, None]) & ok_row[:, None]
+        return jnp.where(ok, ty * ntx + tx, NT).astype(jnp.int32)
+
+    if two_tier:
+        tile_small = slot_tiles(
+            Ss, rect_min_x, rect_min_y, rect_max_x, rect_max_y,
+            pre.valid & ~in_fat,
+        )  # [N, Ss*Ss]
+        tile_fat = slot_tiles(
+            S,
+            rect_min_x[fat_idx],
+            rect_min_y[fat_idx],
+            rect_max_x[fat_idx],
+            rect_max_y[fat_idx],
+            fat_ok,
+        )  # [B, S*S]
+    else:
+        tile_fat = slot_tiles(
+            S, rect_min_x, rect_min_y, rect_max_x, rect_max_y, pre.valid
+        )
 
     # Pack (tile, depth) into ONE uint32 sort key — the XLA-TPU backend
     # compiles multi-operand lexicographic sorts ~3x slower, and this sort is
@@ -99,16 +141,25 @@ def bin_and_sort(
     ).astype(jnp.uint32)
     dq = jnp.minimum(dq, jnp.uint32(2**depth_bits - 1))
 
-    key = (
-        tile_id.astype(jnp.uint32) << depth_bits
-    ) | jnp.broadcast_to(dq[:, None], (N, S * S))
-    surfel_idx = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, S * S)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    key_fat = (
+        tile_fat.astype(jnp.uint32) << depth_bits
+    ) | (dq if not two_tier else dq[fat_idx])[:, None]
+    idx_fat = jnp.broadcast_to(
+        (ids if not two_tier else fat_idx)[:, None], tile_fat.shape
     )
+    if two_tier:
+        key_small = (tile_small.astype(jnp.uint32) << depth_bits) | dq[:, None]
+        idx_small = jnp.broadcast_to(ids[:, None], tile_small.shape)
+        key = jnp.concatenate([key_small.reshape(-1), key_fat.reshape(-1)])
+        surfel_idx = jnp.concatenate(
+            [idx_small.reshape(-1), idx_fat.reshape(-1)]
+        )
+    else:
+        key = key_fat.reshape(-1)
+        surfel_idx = idx_fat.reshape(-1)
 
-    sorted_key, sorted_idx = jax.lax.sort_key_val(
-        key.reshape(-1), surfel_idx.reshape(-1)
-    )
+    sorted_key, sorted_idx = jax.lax.sort_key_val(key, surfel_idx)
     sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
 
     boundaries = jnp.arange(NT, dtype=jnp.int32)
@@ -121,11 +172,16 @@ def bin_and_sort(
     # dup_side^2 tiles are footprint-capped — both produce wrong-but-plausible
     # images, so they are surfaced as counters instead of failing silently.
     dropped = jnp.sum(jnp.maximum(counts - cfg.max_per_tile, 0))
+    # Footprint-capped: wider than the surfel's own tier's slot grid
+    # (leaves visible holes — raise dup_side / fat_budget if nonzero).
+    wide_small = (
+        ((rect_max_x - rect_min_x) > Ss) | ((rect_max_y - rect_min_y) > Ss)
+    )
+    wide_fat = (
+        ((rect_max_x - rect_min_x) > S) | ((rect_max_y - rect_min_y) > S)
+    )
     capped = jnp.sum(
-        (
-            ((rect_max_x - rect_min_x) > S) | ((rect_max_y - rect_min_y) > S)
-        )
-        & pre.valid
+        jnp.where(in_fat, wide_fat, wide_small) & pre.valid
     )
     overflow = jnp.stack([dropped, capped]).astype(jnp.int32)
     return sorted_idx, starts.astype(jnp.int32), counts, (ntx, nty), overflow

@@ -90,6 +90,8 @@ def make_train_step(
     gt_size: Tuple[int, int],
     normal_size: Tuple[int, int],
     raster: RasterConfig = RasterConfig(),
+    raster_gen: Optional[RasterConfig] = None,
+    raster_gt: Optional[RasterConfig] = None,
     guidance_fn: Optional[Callable] = None,
     use_explicit: bool = False,
     n_views: Optional[int] = None,
@@ -147,11 +149,26 @@ def make_train_step(
 
     def remat(f):
         return jax.checkpoint(f, policy=raster_policy)
+    # ``raster_gen``/``raster_gt`` override the shared config per render
+    # path.  Measured on the real chip (bench_trainstep A/B, same tenancy
+    # window): the two-tier slot budget speeds every render in isolation
+    # AND the guidance-free step (~+10%), but the vmapped gen renders
+    # inside the HBM-tight SDS program (resident diffusion weights) run
+    # ~13% SLOWER two-tiered — so with guidance active the gen path
+    # defaults to the single-tier grid (fat_budget=0) while GT passes
+    # stay two-tiered (0.947 -> 0.956 steps/s SDS-on).
+    if raster_gen is None:
+        raster_gen = (
+            dataclasses.replace(raster, fat_budget=0)
+            if guidance_fn is not None
+            else raster
+        )
     gen_settings = RenderSettings(
-        use_explicit=use_explicit, gen_view=True, raster=raster
+        use_explicit=use_explicit, gen_view=True, raster=raster_gen
     )
     gt_settings = RenderSettings(
-        use_explicit=use_explicit, gen_view=False, raster=raster
+        use_explicit=use_explicit, gen_view=False,
+        raster=raster if raster_gt is None else raster_gt,
     )
     cam_cfg = CameraSampleConfig(
         n_view=nv,

@@ -300,6 +300,53 @@ def test_gradients_finite_difference():
         np.testing.assert_allclose(float(grad[i, j]), fd, rtol=2e-2, atol=1e-4)
 
 
+def test_two_tier_slot_budget_matches_single_tier():
+    """With fat_budget < N, only the largest-radius surfels get the 5x5
+    slot grid; the image (and grads) must match the ample single-tier
+    grid as long as every >2x2-footprint surfel is in the fat set — and
+    the capped canary must fire when one is not."""
+    from soar_tpu.render.tiled import bin_and_sort
+    from soar_tpu.render.preprocess import preprocess
+
+    rng = np.random.RandomState(3)
+    n = 40
+    g = make_scene(n=n)
+    # A few huge surfels (multi-tile footprint), the rest small.
+    scales = np.array(g.scales)
+    scales[:, :2] *= 0.25
+    scales[:5, :2] *= 20.0
+    g = g._replace(scales=jnp.asarray(scales))
+    cam = make_camera()
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    single = RasterConfig(max_per_tile=96, dup_side=5, fat_budget=n)
+    tiered = RasterConfig(max_per_tile=96, dup_side=5, fat_budget=8)
+
+    def loss(xyz, colors, cfg):
+        out = rasterize(
+            g._replace(means3d=xyz, colors=colors), cam, (64, 64), bg, cfg
+        )
+        return jnp.sum(out.color**2) + jnp.sum(out.opac), out
+
+    (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        g.means3d, g.colors, single
+    )
+    (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        g.means3d, g.colors, tiered
+    )
+    assert int(o2.overflow[1]) == 0  # all wide surfels fit the fat set
+    np.testing.assert_allclose(o2.color, o1.color, atol=1e-5)
+    np.testing.assert_allclose(o2.opac, o1.opac, atol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+    # Canary: starve the fat set so a wide surfel lands in the small tier.
+    pre = preprocess(g, cam, (64, 64), single)
+    starved = RasterConfig(max_per_tile=96, dup_side=5, fat_budget=1)
+    *_, overflow = bin_and_sort(pre, (64, 64), starved)
+    assert int(overflow[1]) > 0
+
+
 def test_compose_reverse_matches_descending_sort():
     """Back-surface pass via reversed per-tile composite (shared ascending
     sort) == the descending-sort back pass, in values AND gradients — both

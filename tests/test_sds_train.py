@@ -374,3 +374,30 @@ def test_head_camera_mixing():
     )
     d_body = float(jnp.linalg.norm(body_c2w[:, :3, 3], axis=-1).mean())
     assert d_body > 1.0  # body cameras are far; head cameras close
+
+def test_warm_step_matches_sds_program_before_sds_start(setup):
+    """cli.train runs a separate guidance-free program for stage-0 steps
+    <= sds_start (no prelude/UNet work).  That is only sound if the SDS
+    program's ``sds_on`` gate makes it EXACTLY equivalent there: same
+    loss, same parameter update."""
+    stage = StageConfig(training_stage=0, sds_start=2)
+
+    def mock_guidance(inp, c2w, step, key, **kw):
+        return {"loss_sds": 7.0 * jnp.sum(inp ** 2)}
+
+    state, sds_step, ds, model = _make_step(setup, stage, mock_guidance)
+    state2, warm_step, _, _ = _make_step(setup, stage, None)
+    batch = make_gt_batch(ds, model, 0)
+    key = jax.random.PRNGKey(0)
+    s1, m1 = sds_step(state, batch, key)
+    s2, m2 = warm_step(state2, batch, key)
+    assert float(m1["loss_sds"]) > 0.0  # guidance ran, contribution gated
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.params.xyz), np.asarray(s2.params.xyz), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.params.colors), np.asarray(s2.params.colors), atol=1e-7
+    )
