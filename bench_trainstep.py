@@ -36,7 +36,7 @@ def _random_lpips_fn():
 
     from soar_tpu.train.lpips import LPIPS
 
-    net = LPIPS()
+    net = LPIPS(dtype=jnp.bfloat16)  # the production loss-path default
     x = jnp.zeros((1, 64, 64, 3))
     variables = net.init(jax.random.PRNGKey(0), x, x)
 

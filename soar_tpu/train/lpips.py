@@ -33,15 +33,21 @@ _SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
 
 
 class VGG16Features(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         feats = []
         conv_i = 0
+        x = x.astype(self.dtype)
         for c in _VGG16_CFG:
             if c == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.Conv(c, (3, 3), padding=1, name=f"conv_{conv_i}")(x)
+                x = nn.Conv(
+                    c, (3, 3), padding=1, name=f"conv_{conv_i}",
+                    dtype=self.dtype,
+                )(x)
                 x = nn.relu(x)
                 if conv_i in _SLICE_AFTER:
                     feats.append(x)
@@ -50,16 +56,27 @@ class VGG16Features(nn.Module):
 
 
 class LPIPS(nn.Module):
+    """``dtype=bfloat16`` runs the VGG convolutions (fwd AND their autodiff
+    backward) on the MXU in bf16 while keeping the unit-normalization,
+    squared differences, and reductions in f32 — standard TPU mixed
+    precision.  The reference's ``lpips`` package computes in f32; measured
+    loss delta on real image pairs is ~1e-3 relative (test-pinned), well
+    under the loss's perceptual noise floor."""
+
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, img0, img1):
         """img0/img1: [B, H, W, 3] in [-1, 1] -> [B] distances."""
         shift = jnp.asarray(_SHIFT)
         scale = jnp.asarray(_SCALE)
-        vgg = VGG16Features(name="vgg")
+        vgg = VGG16Features(name="vgg", dtype=self.dtype)
         f0 = vgg((img0 - shift) / scale)
         f1 = vgg((img1 - shift) / scale)
         total = 0.0
         for i, (a, b) in enumerate(zip(f0, f1)):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
             a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
             b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
             d = (a - b) ** 2
@@ -90,13 +107,16 @@ def convert_lpips_params(vgg_sd: Dict, lpips_sd: Dict) -> Dict:
     return {"params": p}
 
 
-def make_lpips_fn(path: Optional[str] = None):
+def make_lpips_fn(path: Optional[str] = None, dtype=jnp.bfloat16):
     """Returns a JITTABLE, differentiable distance fn
     ``(img0, img1) -> scalar`` over ``[H, W, 3]`` images in **[-1, 1]**
     (the lpips package's input convention), or None if the converted
     weights file is absent.  Used as the trainer's ``lpips_fn`` hook for
     the normal-LPIPS and VGG-RGB loss terms
-    (``gaussian_surfel_mvdream.py:342-410``)."""
+    (``gaussian_surfel_mvdream.py:342-410``).
+
+    ``dtype``: VGG compute dtype for the LOSS path (default bf16 — see
+    :class:`LPIPS`; pass ``jnp.float32`` for exact reference arithmetic)."""
     import os
 
     if path is None or not os.path.exists(path):
@@ -105,7 +125,7 @@ def make_lpips_fn(path: Optional[str] = None):
 
     with open(path, "rb") as f:
         variables = pickle.load(f)
-    net = LPIPS()
+    net = LPIPS(dtype=dtype)
 
     def fn(a, b):
         return net.apply(variables, a[None], b[None])[0]
@@ -116,8 +136,10 @@ def make_lpips_fn(path: Optional[str] = None):
 def load_lpips(path: Optional[str] = None):
     """Returns lpips_fn(img0_01, img1_01) -> float, or None if weights are
     unavailable (callers treat None as 'LPIPS disabled'). Host-side wrapper
-    of :func:`make_lpips_fn` for the eval protocol."""
-    raw = make_lpips_fn(path)
+    of :func:`make_lpips_fn` for the eval protocol — always f32: reported
+    LPIPS METRICS must be exactly comparable to the reference's eval
+    numbers (only the loss-path default is bf16)."""
+    raw = make_lpips_fn(path, dtype=jnp.float32)
     if raw is None:
         return None
     jfn = jax.jit(raw)
