@@ -46,9 +46,11 @@ def _random_lpips_fn():
     return fn
 
 
-def run(include_sds: bool = True):
-    """Returns the result dict (does not print)."""
-    import jax
+def build_scene():
+    """The production-scale bench scene (125k surfels, 512px, 8 frames,
+    full attribute field) — shared with ``scripts/bench_sds_step.py`` so
+    A/B knob sweeps measure EXACTLY the headline scene.  Returns
+    ``(params, model, ds, cfg)``."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -57,13 +59,7 @@ def run(include_sds: bool = True):
     from soar_tpu.data.dataset import AvatarDataset
     from soar_tpu.field.attribute_field import AttributeFieldConfig
     from soar_tpu.field.hashgrid import HashGridConfig
-    from soar_tpu.render.types import RasterConfig
-    from soar_tpu.train.config import StageConfig, TrainConfig
-    from soar_tpu.train.trainer import (
-        init_train_state,
-        make_gt_batch,
-        make_train_step,
-    )
+    from soar_tpu.train.config import TrainConfig
 
     body = make_test_body(num_joints=10, segments_per_bone=7, ring=28)
     F = 8
@@ -88,7 +84,6 @@ def run(include_sds: bool = True):
         field_cfg=fc,
         distill_steps=0,
     )
-    n = int(params.xyz.shape[0])
 
     H = W = 512
     K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]], np.float32)
@@ -108,13 +103,33 @@ def run(include_sds: bool = True):
         val_idx=[],
         test_idx=[],
     )
-
-    lpips_fn = _random_lpips_fn()
     # head_prob=0: close-up head draws legitimately footprint-cap a ~0.2%
     # tail of surfels (measured; near-zero visible pixels), which would trip
-    # the capped==0 assert below.  Body cameras keep the canary strict, and
-    # head views cost the same to render so the timing is unaffected.
+    # the capped==0 assert in run().  Body cameras keep the canary strict,
+    # and head views cost the same to render so the timing is unaffected.
     cfg = TrainConfig(n_views=4, head_prob=0.0)
+    return params, model, ds, cfg
+
+
+def run(include_sds: bool = True):
+    """Returns the result dict (does not print)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from soar_tpu.render.types import RasterConfig
+    from soar_tpu.train.config import StageConfig
+    from soar_tpu.train.trainer import (
+        init_train_state,
+        make_gt_batch,
+        make_train_step,
+    )
+
+    params, model, ds, cfg = build_scene()
+    n = int(params.xyz.shape[0])
+    H, W = ds.images.shape[1:3]
+
+    lpips_fn = _random_lpips_fn()
     # The no-SDS and SDS-on programs measured here are EXACTLY the two
     # programs cli.train runs in production: stage-0 steps <= sds_start use
     # a guidance-free build (two-tier raster everywhere, un-rematted), and

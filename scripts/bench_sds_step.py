@@ -4,10 +4,11 @@ Usage:
     python scripts/bench_sds_step.py [--gen-chunk N|none] [--remat-gen 0|1]
         [--remat-gt 0|1] [--iters N] [--no-sds]
 
-Builds the exact bench_trainstep scene (125k surfels, 512px, full-shape
-mock ImageDream weights in bf16) with ONE knob combination and prints its
-steps/s — for sweeping memory/schedule configs (selective remat, chunk
-size, GT saved vs rematted) without editing the production defaults.
+Runs the EXACT ``bench_trainstep.build_scene()`` headline scene (125k
+surfels, 512px, full-shape mock ImageDream weights in bf16) with ONE knob
+combination and prints its steps/s — for sweeping memory/schedule configs
+(selective remat, chunk size, GT saved vs rematted) without editing the
+production defaults.
 """
 
 import argparse
@@ -32,64 +33,17 @@ def main():
     import jax.numpy as jnp
 
     import bench_trainstep as B
-    from soar_tpu.train.config import StageConfig
-    from soar_tpu.train.trainer import make_train_step, init_train_state
-
-    # Reuse the bench's scene construction by monkey-patching its build to
-    # honor our knobs: simplest is to re-drive run() internals manually.
-    import numpy as np
-    from soar_tpu.avatar import init_avatar
-    from soar_tpu.body import make_test_body
-    from soar_tpu.data.dataset import AvatarDataset
-    from soar_tpu.field.attribute_field import AttributeFieldConfig
-    from soar_tpu.field.hashgrid import HashGridConfig
     from soar_tpu.render.types import RasterConfig
-    from soar_tpu.train.config import TrainConfig
-    from soar_tpu.train.trainer import make_gt_batch
+    from soar_tpu.train.config import StageConfig
+    from soar_tpu.train.trainer import (
+        init_train_state,
+        make_gt_batch,
+        make_train_step,
+    )
 
-    body = make_test_body(num_joints=10, segments_per_bone=7, ring=28)
-    F = 8
-    rng = np.random.RandomState(0)
-    sp = {
-        "betas": np.zeros((1, body.num_betas), np.float32),
-        "body_pose": (rng.randn(F, (body.num_joints - 1) * 3) * 0.05).astype(
-            np.float32
-        ),
-        "global_orient": np.zeros((F, 3), np.float32),
-        "transl": np.tile([[0.0, 0.9, -2.8]], (F, 1)).astype(np.float32),
-    }
-    fc = AttributeFieldConfig(
-        grid=HashGridConfig(
-            num_levels=16, min_res=16, max_res=2048, log2_hashmap_size=18
-        )
-    )
-    params, model = init_avatar(
-        body,
-        {k: jnp.asarray(v) for k, v in sp.items()},
-        num_subdiv=3,
-        field_cfg=fc,
-        distill_steps=0,
-    )
-    H = W = 512
-    K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]], np.float32)
-    ds = AvatarDataset(
-        images=rng.rand(F, H, W, 3).astype(np.float32),
-        masks=(rng.rand(F, H, W) > 0.5).astype(np.float32),
-        normal_F=rng.rand(F, 512, 512, 3).astype(np.float32),
-        normal_B=rng.rand(F, 512, 512, 3).astype(np.float32),
-        normal_mask=(rng.rand(F, 512, 512) > 0.5).astype(np.float32),
-        images_crop=rng.rand(F, 512, 512, 3).astype(np.float32),
-        masks_crop=(rng.rand(F, 512, 512) > 0.5).astype(np.float32),
-        smpl_params=sp,
-        w2c=np.eye(4, dtype=np.float32),
-        Ks=np.tile(K[None], (F, 1, 1)),
-        normal_Ks=np.tile(K[None], (F, 1, 1)),
-        train_idx=list(range(F)),
-        val_idx=[],
-        test_idx=[],
-    )
+    params, model, ds, cfg = B.build_scene()
+    H, W = ds.images.shape[1:3]
     lpips_fn = B._random_lpips_fn()
-    cfg = TrainConfig(n_views=4, head_prob=0.0)
     raster = RasterConfig(max_per_tile=96, dup_side=5)
 
     guidance_fn = None
@@ -164,6 +118,11 @@ def main():
         l = float(metrics["loss"])
         assert l == l
         best = min(best, time.time() - t0)
+    capped = float(metrics["raster_capped"])
+    if capped:
+        print(f"WARNING: {capped} footprint-capped surfels (headline bench "
+              "asserts 0 — this knob combination renders holes)",
+              file=sys.stderr)
     print(
         f"gen_chunk={chunk} remat_gen={args.remat_gen} remat_gt={args.remat_gt}"
         f" sds={guidance_fn is not None}: {args.iters/best:.3f} steps/s"

@@ -24,6 +24,50 @@ import os
 import time
 
 
+def resolve_stage_cfg(yaml_cfg, st: int, steps_arg):
+    """Stage config precedence: an explicitly passed ``--steps`` wins, else
+    the YAML's ``trainer.max_steps`` stands (schedules — C() anneals, the
+    SDS warm-up — key off max_steps, so silently overriding it would shift
+    them), else the 1000-step default."""
+    import dataclasses as dc
+
+    from ..train.config import StageConfig, stage1_config
+
+    if yaml_cfg is not None and yaml_cfg["stage"].training_stage == st:
+        stage_cfg = yaml_cfg["stage"]
+        if steps_arg is not None:
+            stage_cfg = dc.replace(stage_cfg, max_steps=steps_arg)
+        return stage_cfg
+    n = 1000 if steps_arg is None else steps_arg
+    return StageConfig(max_steps=n) if st == 0 else stage1_config(n)
+
+
+def resolve_guidance_kind(kind: str, from_yaml: bool, *, ckpt, embeddings,
+                          clip_dir, mock: bool) -> str:
+    """Gate guidance on its user-supplied weights.  A YAML-requested
+    guidance degrades (loudly) to reconstruction-only when the weights are
+    absent; an explicitly passed ``--guidance`` is a hard error instead."""
+    if kind == "none":
+        return kind
+    missing = []
+    if not (ckpt or mock):
+        missing.append("--guidance-ckpt (or --mock-guidance)")
+    if not (embeddings or clip_dir or mock):
+        missing.append(
+            "--prompt-embeddings / --clip-model-dir (or --mock-guidance)"
+        )
+    if not missing:
+        return kind
+    msg = (f"guidance '{kind}' needs user-supplied weights: "
+           f"missing {'; '.join(missing)}")
+    if from_yaml:
+        print(f"warning: {msg} — training WITHOUT SDS guidance (pass the "
+              "weights, --mock-guidance, or an explicit --guidance to "
+              "silence)")
+        return "none"
+    raise SystemExit(msg)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -35,7 +79,11 @@ def main(argv=None):
     ap.add_argument("--smpl-model", type=str, default=None)
     ap.add_argument("--out", type=str, default="outputs/run")
     ap.add_argument("--stage", type=str, default="both", choices=["0", "1", "both"])
-    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument(
+        "--steps", type=int, default=None,
+        help="steps per stage (default: the YAML's trainer.max_steps when "
+        "--config is given, else 1000)",
+    )
     ap.add_argument("--num-subdiv", type=int, default=2)
     ap.add_argument("--n-views", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
@@ -66,10 +114,12 @@ def main(argv=None):
                     help="capture a jax.profiler trace for the first N steps")
     # ---- SDS diffusion guidance (``gaussiansurfel_imagedream_s0.yaml:87-96``)
     ap.add_argument(
-        "--guidance", type=str, default="none",
+        "--guidance", type=str, default=None,
         choices=["none", "imagedream", "mvdream"],
         help="multi-view SDS guidance; imagedream additionally conditions "
-        "on the per-frame GT crop (stage 1) / ECON normal_F (stage 0)",
+        "on the per-frame GT crop (stage 1) / ECON normal_F (stage 0). "
+        "Unset + --config: taken from the YAML; pass an explicit "
+        "'none' to train reconstruction-only under a guidance YAML",
     )
     ap.add_argument("--prompt", type=str, default=None,
                     help="text prompt (encoded via --clip-model-dir, or "
@@ -102,6 +152,7 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    guidance_from_yaml = False
     yaml_cfg = None
     if args.config:
         from ..train.yaml_config import load_yaml_config
@@ -112,8 +163,9 @@ def main(argv=None):
             args.dataroot = str(yaml_cfg["dataroot"])
         if args.prompt is None and yaml_cfg["prompt"] not in (None, "???"):
             args.prompt = str(yaml_cfg["prompt"])
-        if args.guidance == "none" and yaml_cfg["guidance_kind"]:
+        if args.guidance is None and yaml_cfg["guidance_kind"]:
             args.guidance = yaml_cfg["guidance_kind"]
+            guidance_from_yaml = True
         if args.guidance_ckpt is None and yaml_cfg["guidance_ckpt"]:
             args.guidance_ckpt = str(yaml_cfg["guidance_ckpt"])
         ys = yaml_cfg["stage"]
@@ -121,6 +173,8 @@ def main(argv=None):
             args.stage = str(ys.training_stage)
             print(f"--config defines stage {ys.training_stage}; running only "
                   "that stage (pass --stage to override)")
+    if args.guidance is None:
+        args.guidance = "none"
 
     import jax
     import jax.numpy as jnp
@@ -132,7 +186,7 @@ def main(argv=None):
     from ..field.attribute_field import AttributeFieldConfig
     from ..io.checkpoint import load_avatar, save_avatar
     from ..render.types import RasterConfig
-    from ..train.config import StageConfig, TrainConfig, stage1_config
+    from ..train.config import TrainConfig
     from ..train.evaluate import evaluate
     from ..train.trainer import init_train_state, make_gt_batch, make_train_step
 
@@ -204,9 +258,10 @@ def main(argv=None):
 
     eval_lpips = None
     if lpips_fn is not None:
-        # Host-side eval wrapper over the SAME weights (avoid re-reading the
-        # pickle via load_lpips); eval protocol feeds [0,1] images.
-        _lpips_jit = jax.jit(lpips_fn)
+        # Eval-protocol LPIPS is ALWAYS f32 (reported metrics must be
+        # exactly comparable to the reference's eval numbers); only the
+        # loss-path lpips_fn above runs the bf16 default.
+        _lpips_jit = jax.jit(make_lpips_fn(args.lpips_weights, dtype=jnp.float32))
 
         def eval_lpips(a01, b01):
             return float(
@@ -219,14 +274,7 @@ def main(argv=None):
     for st in stages:
         import dataclasses as dc
 
-        if yaml_cfg is not None and yaml_cfg["stage"].training_stage == st:
-            stage_cfg = dc.replace(yaml_cfg["stage"], max_steps=args.steps)
-        else:
-            stage_cfg = (
-                StageConfig(max_steps=args.steps)
-                if st == 0
-                else stage1_config(args.steps)
-            )
+        stage_cfg = resolve_stage_cfg(yaml_cfg, st, args.steps)
 
         if not has_normals:
             stage_cfg = dc.replace(
@@ -242,6 +290,14 @@ def main(argv=None):
         if args.sds_start is not None:
             stage_cfg = dc.replace(stage_cfg, sds_start=args.sds_start)
 
+        args.guidance = resolve_guidance_kind(
+            args.guidance,
+            guidance_from_yaml,
+            ckpt=args.guidance_ckpt,
+            embeddings=args.prompt_embeddings,
+            clip_dir=args.clip_model_dir,
+            mock=args.mock_guidance,
+        )
         guidance_fn = None
         if args.guidance != "none":
             from ..guidance.build import build_guidance
@@ -255,11 +311,6 @@ def main(argv=None):
                     embeddings_path=args.prompt_embeddings,
                     clip_model_dir=args.clip_model_dir,
                 )()
-            elif not args.mock_guidance:
-                raise SystemExit(
-                    "--guidance needs --prompt-embeddings / --clip-model-dir "
-                    "(or --mock-guidance for random-init text embeddings)"
-                )
             guidance_fn = build_guidance(
                 args.guidance,
                 stage_cfg,
@@ -382,7 +433,8 @@ def main(argv=None):
         )
         if trace_ctx:
             trace_ctx.__enter__()
-        for it in range(args.steps):
+        n_steps = stage_cfg.max_steps
+        for it in range(n_steps):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
             with timer.phase("batch"):
@@ -405,9 +457,9 @@ def main(argv=None):
             if trace_ctx and it + 1 == args.trace_steps:
                 trace_ctx.__exit__(None, None, None)
                 trace_ctx = None
-            if it % args.log_every == 0 or it == args.steps - 1:
+            if it % args.log_every == 0 or it == n_steps - 1:
                 m = {k: round(float(v), 5) for k, v in metrics.items()}
-                logger.log(it + st * args.steps, m)
+                logger.log(it + st * n_steps, m)
                 m["sec_per_step"] = round(
                     timer.summary().get("step", 0.0), 3
                 )
@@ -439,7 +491,7 @@ def main(argv=None):
         logger.close()
         params = state.params
         ckpt = os.path.join(args.out, f"stage{st}")
-        save_avatar(ckpt, params, step=args.steps)
+        save_avatar(ckpt, params, step=n_steps)
         print(f"saved {ckpt}")
 
     if args.eval:

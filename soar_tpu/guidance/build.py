@@ -234,6 +234,16 @@ def build_guidance(
         if ckpt_path is not None and "clip" in variables and "resampler" in variables:
             clip_v = variables.pop("clip")
             res_v = variables.pop("resampler")
+        elif ckpt_path is not None:
+            # A real checkpoint without the image-conditioning towers is the
+            # text-only ``sd-v2.1-base-4view`` (MVDream) — random-init CLIP
+            # here would silently feed the real UNet garbage ip tokens.
+            raise ValueError(
+                f"checkpoint {ckpt_path} has no CLIP vision tower / "
+                "image_proj_model — it is not the ImageDream "
+                "'sd-v2.1-base-4view-ipmv' variant; use kind='mvdream' "
+                "with it, or supply the -ipmv checkpoint"
+            )
         else:
             clip_v, res_v = _mock_clip_vars(
                 k_clip, shapes.clip_cfg, shapes.resampler_cfg

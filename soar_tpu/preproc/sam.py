@@ -436,9 +436,11 @@ def load_sam_predictor(checkpoint_path: Optional[str], cfg: SAMConfig = SAMConfi
         img = (img - _PIXEL_MEAN) / _PIXEL_STD
         img = jnp.pad(img, ((0, S - nh), (0, S - nw), (0, 0)))
 
-        # +0.5 pixel-center shift, resize transform, pad label
-        # (predictor.py / prompt_encoder.py:83-88).
-        pts = (np.asarray(points_px, np.float32) + 0.5) * scale
+        # Resize transform FIRST, then the +0.5 pixel-center shift in model
+        # space — SamPredictor scales raw coords (transforms.py
+        # apply_coords) and prompt_encoder.py:83-88 adds 0.5 afterwards;
+        # shifting before the scale would offset prompts by 0.5*(1-scale) px.
+        pts = np.asarray(points_px, np.float32) * scale + 0.5
         pts01 = pts / S
         pts01 = np.concatenate([pts01, np.zeros((1, 2), np.float32)], axis=0)
         labels = np.concatenate(

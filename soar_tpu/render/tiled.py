@@ -69,10 +69,12 @@ def bin_and_sort(
     ).astype(jnp.int32)
 
     # ---- two-tier slot budget (``RasterConfig.dup_side_small/fat_budget``):
-    # every surfel gets a small Ss x Ss slot grid; the fat_budget largest-
-    # radius surfels instead get the full S x S grid.  Each surfel's slots
-    # come from EXACTLY one tier (fat surfels' small slots are masked), so
-    # no tile ever composites a surfel twice.
+    # every surfel gets a small Ss x Ss slot grid; the FIRST fat_budget
+    # surfels (in index order) whose rect exceeds it instead get the full
+    # S x S grid — any wide surfel past the budget is footprint-capped and
+    # fires the ``capped`` canary.  Each surfel's slots come from EXACTLY
+    # one tier (fat surfels' small slots are masked), so no tile ever
+    # composites a surfel twice.
     Ss = min(cfg.dup_side_small, S)
     B = min(cfg.fat_budget, N)
     two_tier = 0 < B < N and Ss < S

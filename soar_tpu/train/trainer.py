@@ -482,6 +482,10 @@ def make_train_step(
         # tile footprint exceeded dup_side^2 — these leave visible holes;
         # raise dup_side if nonzero.
         ov = gen["overflow"].reshape(-1, 2).sum(0) + gt["overflow"]
+        if has_normals:
+            # The normal-F/B pair composites from ONE shared binning, so its
+            # counter appears once (gt_nB carries the same tensor).
+            ov = ov + gt_nF["overflow"]
         metrics["raster_dropped"] = ov[0].astype(jnp.float32)
         metrics["raster_capped"] = ov[1].astype(jnp.float32)
 

@@ -57,6 +57,41 @@ def test_cli_accepts_config(tmp_path, monkeypatch):
         main(["--config", "configs/surfel_stage1.yaml"])
 
 
+def test_stage_cfg_yaml_max_steps_honored():
+    """The YAML's trainer.max_steps stands unless --steps is explicitly
+    passed (review finding: it used to be silently replaced by the CLI
+    default, shifting every max_steps-keyed schedule)."""
+    from soar_tpu.cli.train import resolve_stage_cfg
+
+    yaml_cfg = load_yaml_config("configs/surfel_stage0.yaml")
+    assert resolve_stage_cfg(yaml_cfg, 0, None).max_steps == 1000
+    assert resolve_stage_cfg(yaml_cfg, 0, 600).max_steps == 600
+    # non-matching stage falls through to the defaults
+    assert resolve_stage_cfg(yaml_cfg, 1, None).max_steps == 1000
+    assert resolve_stage_cfg(None, 0, 250).max_steps == 250
+    assert resolve_stage_cfg(None, 1, None).max_steps == 1000
+
+
+def test_guidance_gate_yaml_degrades_cli_errors(capsys):
+    """Weight-less guidance: YAML-requested degrades loudly to 'none';
+    explicitly passed --guidance is a hard error; mock/provided weights
+    pass through."""
+    import pytest
+
+    from soar_tpu.cli.train import resolve_guidance_kind
+
+    kw = dict(ckpt=None, embeddings=None, clip_dir=None, mock=False)
+    assert resolve_guidance_kind("imagedream", True, **kw) == "none"
+    assert "WITHOUT SDS guidance" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="guidance-ckpt"):
+        resolve_guidance_kind("imagedream", False, **kw)
+    assert resolve_guidance_kind("none", False, **kw) == "none"
+    ok = dict(kw, mock=True)
+    assert resolve_guidance_kind("imagedream", True, **ok) == "imagedream"
+    ok2 = dict(ckpt="x.pt", embeddings="p.npz", clip_dir=None, mock=False)
+    assert resolve_guidance_kind("mvdream", False, **ok2) == "mvdream"
+
+
 def test_ply_init_roundtrip(tmp_path):
     import os.path as osp
 
