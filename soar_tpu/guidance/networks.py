@@ -263,9 +263,14 @@ class VAEEncoder(nn.Module):
             for i in range(2):
                 h = _VAEResBlock(ch, name=f"down_{level}_{i}")(h)
             if level != len(self.channel_mult) - 1:
-                # SD uses asymmetric (0,1) padding; plain stride-2 conv here.
+                # SD's VAE Downsample: F.pad(x, (0,1,0,1)) + stride-2 VALID
+                # conv (ldm/modules/diffusionmodules/model.py Downsample
+                # with_conv) — asymmetric right/bottom padding, required for
+                # activation alignment under converted real weights.
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = nn.Conv(
-                    ch, (3, 3), strides=2, padding=1, name=f"down_{level}_ds"
+                    ch, (3, 3), strides=2, padding="VALID",
+                    name=f"down_{level}_ds",
                 )(h)
         ch = self.base_channels * self.channel_mult[-1]
         h = _VAEResBlock(ch, name="mid_res0")(h)

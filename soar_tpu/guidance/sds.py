@@ -92,7 +92,13 @@ class MultiviewGuidance:
             ref_ip=ref_ip,
         )
         loss = 0.5 * jnp.sum((latents - target) ** 2) / latents.shape[0]
+        # Reference grad_norm parity: in recon mode it is the autograd of
+        # the /B-scaled loss, ||latents-target||/B (``:331-337``); in plain
+        # SDS mode it is ||w*(noise_pred-noise)|| = ||latents-target||
+        # un-scaled (``:342-353``).
         grad_norm = jnp.linalg.norm(latents - target)
+        if self.cfg.recon_loss:
+            grad_norm = grad_norm / latents.shape[0]
         return {"loss_sds": loss, "grad_norm": grad_norm, "t": t}
 
     def encode_latents(self, rgb: jnp.ndarray, key: jax.Array) -> jnp.ndarray:

@@ -423,13 +423,21 @@ def make_train_step(
         # the ImageDream reference image (GT RGB crop in stage 1, ECON
         # normal_F in stage 0) + the first gen view's neural background.
         if guidance_fn is not None:
-            occ_w = jnp.exp(-3.0 * jax.lax.stop_gradient(gen["occ"]))
+            # The hook is gated on lambda_occ > 0 in the reference
+            # (``:213-218,234-239``) — statically here (all SOAR configs
+            # set it > 0; a schedule counts as "on").
+            occ_on = isinstance(w.occ, (tuple, list)) or float(w.occ) != 0.0
+            if occ_on:
+                occ_w = jnp.exp(-3.0 * jax.lax.stop_gradient(gen["occ"]))
+                hook = lambda x: scale_gradient(x, occ_w)  # noqa: E731
+            else:
+                hook = lambda x: x  # noqa: E731
             if stage.training_stage == 1:
-                guidance_inp = scale_gradient(comp_rgb, occ_w)
+                guidance_inp = hook(comp_rgb)
                 ref_rgb = batch.get("gt_rgb_crop")
                 ref_mask = batch.get("gt_mask_crop")
             else:
-                guidance_inp = scale_gradient(gen["normal"], occ_w)
+                guidance_inp = hook(gen["normal"])
                 ref_rgb = batch.get("gt_normal_F")
                 ref_mask = batch.get("gt_normal_mask")
             if sds_via_params:
@@ -453,7 +461,11 @@ def make_train_step(
                 sds_out = {
                     "loss_sds": 0.5 * jnp.sum((lat - target) ** 2)
                     / lat.shape[0],
-                    "grad_norm": jnp.linalg.norm(lat - target),
+                    # /B: the reference's grad_norm is the autograd of the
+                    # /B-scaled recon loss (SOAR runs recon_loss=true; see
+                    # sds.py __call__ for the plain-SDS convention).
+                    "grad_norm": jnp.linalg.norm(lat - target)
+                    / lat.shape[0],
                 }
             else:
                 sds_out = guidance_fn(
