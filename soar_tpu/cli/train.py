@@ -140,6 +140,13 @@ def main(argv=None):
                     help="guidance network compute dtype (the reference "
                     "runs half_precision_weights=true)")
     ap.add_argument(
+        "--multichip", action="store_true",
+        help="shard the step over ALL local devices on a 1-D mesh: gen "
+        "views over the view axis, the GT passes row-sharded (GSPMD "
+        "partitions the tile composite); surfel state replicates and XLA "
+        "all-reduces the gradients over ICI",
+    )
+    ap.add_argument(
         "--sds-mode", type=str, default="split", choices=["split", "fused"],
         help="split: the frozen UNet target compiles as its own program "
         "(default — the fused train-step graph exceeds the axon "
@@ -355,6 +362,34 @@ def main(argv=None):
                 # All frames embedded: free the 1.3 GB CLIP tower from HBM.
                 guidance_fn.release_image_encoder()
 
+        import contextlib
+
+        mesh = None
+        shard_views_fn = shard_gt_fn = None
+        if args.multichip:
+            if len(jax.devices()) < 2:
+                print("warning: --multichip with a single device; ignoring")
+            else:
+                from ..parallel import make_view_mesh, row_sharder, view_sharder
+
+                mesh = make_view_mesh()
+                shard_views_fn = view_sharder(mesh)
+                shard_gt_fn = row_sharder(mesh)
+                print(f"multichip: 1-D mesh over {len(jax.devices())} devices "
+                      "(gen views sharded, GT passes row-sharded)")
+        mesh_ctx = (
+            (jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh)
+            if mesh is not None
+            else contextlib.nullcontext()
+        )
+
+        def _rep(tree):
+            if mesh is None:
+                return tree
+            from ..parallel import replicate
+
+            return replicate(mesh, tree)
+
         state, opt = init_train_state(
             params, model, cfg, seed=args.seed, stage=stage_cfg
         )
@@ -373,6 +408,8 @@ def main(argv=None):
             lpips_fn=lpips_fn,
             guidance_fn=guidance_fn,
             split_sds=split_sds,
+            shard_views=shard_views_fn,
+            shard_gt=shard_gt_fn,
             # With selective remat (named rasterizer residuals) the full
             # vmap-4 gen batch fits next to the resident diffusion weights
             # — measured faster than sequential chunks of 2; GT residuals
@@ -412,6 +449,8 @@ def main(argv=None):
                     has_normals=has_normals,
                     lpips_fn=lpips_fn,
                     guidance_fn=None,
+                    shard_views=shard_views_fn,
+                    shard_gt=shard_gt_fn,
                 )
             )
         from ..avatar import RenderSettings, render_view
@@ -434,6 +473,8 @@ def main(argv=None):
         if trace_ctx:
             trace_ctx.__enter__()
         n_steps = stage_cfg.max_steps
+        mesh_ctx.__enter__()
+        state = _rep(state)
         for it in range(n_steps):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
@@ -441,6 +482,7 @@ def main(argv=None):
                 batch = make_gt_batch(ds, model, frame)
                 if ip_table is not None:
                     batch["ref_ip"] = jnp.asarray(ip_table[frame])
+                batch = _rep(batch)
             with timer.phase("step"):
                 warm = warm_step_fn is not None and it <= stage_cfg.sds_start
                 if prelude_fn is not None and not warm:
@@ -488,8 +530,13 @@ def main(argv=None):
                 )
         if trace_ctx:
             trace_ctx.__exit__(None, None, None)
+        mesh_ctx.__exit__(None, None, None)
         logger.close()
-        params = state.params
+        # Pull the (possibly mesh-replicated) params back to single-device
+        # host arrays for checkpointing / eval.
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), state.params
+        ) if mesh is not None else state.params
         ckpt = os.path.join(args.out, f"stage{st}")
         save_avatar(ckpt, params, step=n_steps)
         print(f"saved {ckpt}")

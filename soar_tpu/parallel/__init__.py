@@ -1,1 +1,7 @@
-from .views import VIEW_AXIS, make_view_mesh, replicate, view_sharder  # noqa: F401
+from .views import (  # noqa: F401
+    VIEW_AXIS,
+    make_view_mesh,
+    replicate,
+    row_sharder,
+    view_sharder,
+)

@@ -47,3 +47,31 @@ def replicate(mesh: Mesh, tree):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def row_sharder(mesh: Mesh) -> Callable:
+    """Returns f(render_dict) that constrains every image-space leaf
+    ([H, W, ...]) to be row-sharded over the mesh axis — the GT-pass
+    parallelism of SURVEY §2.5 ("4 SDS views + 3 GT passes").
+
+    The GT rgb and normal-F/B renders have a batch size of ONE camera, so
+    the view axis cannot split them; instead the OUTPUT image rows carry
+    the sharding and GSPMD propagates it backwards through the untile
+    reshape into the whole per-tile pipeline — the [NT, pixels, K]
+    composite, its gathers, and the cumprod all partition over the tile-row
+    axis (verified in HLO: the dominant composite tensors shard NT/D per
+    device), while the surfel preprocess + sort stay replicated (they are
+    ~MBs vs ~GBs).  The backward all-reduces the surfel gradients exactly
+    like the view-sharded gen pass.  1-D leaves (overflow counters,
+    scalars) pass through unconstrained."""
+    sharding = NamedSharding(mesh, P(VIEW_AXIS))
+
+    def shard(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, sharding)
+            if getattr(x, "ndim", 0) >= 2
+            else x,
+            tree,
+        )
+
+    return shard

@@ -97,6 +97,7 @@ def make_train_step(
     n_views: Optional[int] = None,
     has_normals: bool = True,
     shard_views: Optional[Callable] = None,
+    shard_gt: Optional[Callable] = None,
     lpips_fn: Optional[Callable] = None,
     split_sds: bool = False,
     sds_via_params: bool = False,
@@ -288,7 +289,16 @@ def make_train_step(
         # intermediates for the backward).
         def _gt_render(size, sett):
             def f(p, a, cam, bg, fi):
-                return render_view(p, model, cam, size, bg, fi, sett, attrs=a)
+                out = render_view(p, model, cam, size, bg, fi, sett, attrs=a)
+                if shard_gt is not None:
+                    # Row-shard the single-camera GT pass over the mesh:
+                    # GSPMD propagates the constraint back through the
+                    # untile into the [NT, pixels, K] composite (the bulk
+                    # of the pass), partitioning it over tile rows
+                    # (``parallel.views.row_sharder``; SURVEY §2.5's
+                    # "3 GT passes").
+                    out = shard_gt(out)
+                return out
 
             return remat(f) if remat_gt else f
 

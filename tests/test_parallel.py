@@ -50,7 +50,7 @@ def setup():
     return ds, params, model
 
 
-def _make_step(model, opt, shard_views=None):
+def _make_step(model, opt, shard_views=None, shard_gt=None):
     cfg = TrainConfig(n_views=N_DEV)
     stage = StageConfig(
         training_stage=0,
@@ -69,6 +69,7 @@ def _make_step(model, opt, shard_views=None):
         has_normals=False,
         n_views=N_DEV,
         shard_views=shard_views,
+        shard_gt=shard_gt,
     )
 
 
@@ -85,9 +86,15 @@ def test_sharded_step_matches_unsharded(setup):
     step_single = jax.jit(_make_step(model, opt))
     s1, m1 = step_single(state0, batch, key)
 
-    # Sharded (vmapped + GSPMD) step over a 4-device mesh.
+    # Sharded (vmapped + GSPMD) step over a 4-device mesh: gen views over
+    # the view axis AND the single-camera GT pass row-sharded over the
+    # same axis (SURVEY §2.5's "4 SDS views + 3 GT passes").
+    from soar_tpu.parallel import row_sharder
+
     mesh = make_view_mesh(jax.devices()[:N_DEV])
-    step_sharded = jax.jit(_make_step(model, opt, view_sharder(mesh)))
+    step_sharded = jax.jit(
+        _make_step(model, opt, view_sharder(mesh), row_sharder(mesh))
+    )
     with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
         st = replicate(mesh, state0)
         bt = replicate(mesh, batch)
