@@ -126,3 +126,39 @@ def test_gen_views_actually_sharded(setup):
         y = jax.jit(lambda a: sharder(a) * 2.0)(replicate(mesh, x))
     shard_shapes = {s.data.shape for s in y.addressable_shards}
     assert shard_shapes == {(1, 8, 8, 3)}, shard_shapes
+
+
+def test_gt_render_actually_sharded(setup):
+    """A real GT render under ``row_sharder`` must land row-sharded AND its
+    compiled program must partition the [NT, pixels, K] composite over tile
+    rows — the work split, not just a final reshard of replicated work."""
+    from soar_tpu.avatar import RenderSettings, render_view
+    from soar_tpu.core.camera import camera_from_c2w
+    from soar_tpu.parallel import row_sharder
+
+    ds, params, model = setup
+    mesh = make_view_mesh(jax.devices()[:N_DEV])
+    sharder = row_sharder(mesh)
+    # 64px / 16px tiles = 4x4 tiles; N_DEV=4 devices -> 1 tile-row each.
+    HW = (64, 64)
+    cam = camera_from_c2w(jnp.eye(4), jnp.asarray(0.7), jnp.asarray(0.7))
+    sett = RenderSettings(
+        use_explicit=True, raster=RasterConfig(max_per_tile=32, dup_side=3)
+    )
+
+    def f(p):
+        out = render_view(
+            p, model, cam, HW, jnp.zeros(3), jnp.asarray(0), sett
+        )
+        return sharder(out)
+
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        jf = jax.jit(f)
+        out = jf(replicate(mesh, params))
+        shard_shapes = {s.data.shape for s in out["render"].addressable_shards}
+        assert shard_shapes == {(64 // N_DEV, 64, 3)}, shard_shapes
+        # The composite runs on [NT/N_DEV, pixels=256, K] slices per device:
+        # the full 16-tile axis must not appear with the 256-pixel axis.
+        txt = jf.lower(replicate(mesh, params)).compile().as_text()
+        assert "f32[4,256,32" in txt, "composite not partitioned over tiles"
+        assert "f32[16,256,32" not in txt, "replicated composite found"
