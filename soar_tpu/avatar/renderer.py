@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import Camera
-from ..core.transforms import quat_normalize, quat_to_rotmat, rotmat_to_quat
+from ..core.transforms import quat_to_rotmat, rotmat_to_quat
 from ..field.attribute_field import attribute_field_apply
 from ..render import GaussianInputs, RasterConfig, rasterize
 from ..render.tiled import rasterize_front_back, rasterize_with_occ
@@ -109,7 +109,7 @@ def render_view(
     if settings.gen_view:
         posed = posed @ _PERMUTE_T
         R_out = _PERMUTE_T.T @ R_out
-    rot_out = quat_normalize(rotmat_to_quat(R_out))
+    rot_out = rotmat_to_quat(R_out)  # already unit-norm + sign-canonical
 
     if settings.use_explicit:
         scale1 = S.get_scaling(params)  # [N, 1]

@@ -37,6 +37,11 @@ class BodyModel(NamedTuple):
     parents: Tuple[int, ...]  # static kinematic tree, parents[0] == -1
     faces: jnp.ndarray  # [F, 3] int32
     num_betas: int  # leading shape coords that are betas (rest: expression)
+    # [J*3] additive mean pose, or None.  SMPL-X under the reference's
+    # flat_hand_mean=False carries the MANO hand means here (zeros for all
+    # non-hand segments); SMPLX.forward does ``full_pose += pose_mean``
+    # (``utils/smplx/body_models.py:1321``).  SMPL has no pose mean.
+    pose_mean: Optional[jnp.ndarray] = None
 
     @property
     def num_joints(self) -> int:
@@ -158,11 +163,17 @@ def smplx_forward(
     (betas / body_pose / global_orient / transl / hand & face poses /
     expression), cf. ``utils/smpl.py:601-607``."""
     betas = jnp.atleast_2d(params["betas"])
+
+    def _rows(name):
+        p = params.get(name)
+        return p.shape[0] if p is not None and p.ndim >= 2 else 1
+
     B = max(
         betas.shape[0],
-        params.get("body_pose", jnp.zeros((1, 1))).shape[0]
-        if "body_pose" in params
-        else 1,
+        *(
+            _rows(n)
+            for n in ("body_pose", "global_orient", "transl")
+        ),
     )
     if betas.shape[0] != B:
         betas = jnp.broadcast_to(betas, (B, betas.shape[-1]))
@@ -178,6 +189,11 @@ def smplx_forward(
     else:
         shape_components = betas[:, : model.num_betas]
     full_pose = assemble_smplx_pose(params, B, model.num_joints)
+    if model.pose_mean is not None:
+        # ``full_pose += self.pose_mean`` (``body_models.py:1321``) — under
+        # flat_hand_mean=False this re-adds the MANO hand means that
+        # SMPLer-X / smplx fits are expressed relative to.
+        full_pose = full_pose + model.pose_mean
     transl = params.get("transl")
     if transl is not None:
         transl = jnp.reshape(transl, (B, 3))
@@ -221,6 +237,21 @@ def load_smplx_npz(
         parents = kintree[0].astype(np.int64)
         parents[0] = -1
         faces = np.asarray(data["f"], np.int32)
+        # flat_hand_mean=False (the reference's construction,
+        # ``utils/smpl.py:294-300`` leaves the default): the MANO hand means
+        # are ADDED to the hand pose segments in forward
+        # (``body_models.py:652-665,1321``).  Layout: segments before the
+        # hands (global 1 + body 21 + jaw/leye/reye 3 = 25 joints) are
+        # zero-mean.
+        J = len(parents)
+        pose_mean = np.zeros((J * 3,), np.float32)
+        if "hands_meanl" in data and J == 55:
+            pose_mean[25 * 3 : 40 * 3] = np.asarray(
+                data["hands_meanl"], np.float32
+            ).reshape(-1)
+            pose_mean[40 * 3 : 55 * 3] = np.asarray(
+                data["hands_meanr"], np.float32
+            ).reshape(-1)
     return BodyModel(
         v_template=jnp.asarray(v_template),
         shapedirs=jnp.asarray(shapedirs),
@@ -230,6 +261,7 @@ def load_smplx_npz(
         parents=tuple(int(p) for p in parents),
         faces=jnp.asarray(faces),
         num_betas=num_betas,
+        pose_mean=jnp.asarray(pose_mean),
     )
 
 

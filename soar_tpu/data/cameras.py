@@ -97,7 +97,13 @@ def sample_head_cameras(
     """Close-up "head" camera draw (``renderer/gaussian_batch_renderer.py:
     264-276, 473-595``).  NOTE: latent in the reference — sampled every step
     but never consumed by the surfel system's render path (only the older
-    MVDream system feeds them to guidance); provided for parity."""
+    MVDream system feeds them to guidance); provided for parity.
+
+    Faithful quirk: the reference calls ``sample_camera`` with
+    ``camera_distance_range=[0.28, 0.28]`` but ``relative_radius=True`` and
+    an ORIGIN look-at (``:264-270, 549-551``), so the actual distance is
+    0.28 / tan(fovy/2) ~ 0.7-1.0 aimed at the body center — a tighter
+    framing than the gen cameras, not a literal head orbit."""
     cfg = CameraSampleConfig(
         n_view=n_view,
         elevation_range=(-10.0, 20.0),

@@ -84,36 +84,49 @@ def attribute_field_apply(
     z: Optional[jnp.ndarray] = None,  # [2] per-frame latent for offsets
     cfg: AttributeFieldConfig = AttributeFieldConfig(),
     is_normalized: bool = False,
+    heads: Optional[Tuple[str, ...]] = None,  # None = all five
 ) -> Dict[str, jnp.ndarray]:
     if is_normalized:
         pos = xyz
     else:
         pos, _ = normalize_positions(xyz, params["aabb"])
-
-    x = hash_encode(params["encoding"], pos, cfg.grid)
-    shs = jax.nn.sigmoid(_apply_mlp(params["mlp_shs"], x))
-    scales = jax.nn.sigmoid(_apply_mlp(params["mlp_scales"], x)) * 2e-2
-
-    xq = hash_encode(params["quat_encoding"], pos, cfg.grid)
-    quats = _apply_mlp(params["mlp_quats"], xq)
-    quats = quats / jnp.maximum(
-        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+    want = (
+        ("shs", "scales", "quats", "offsets", "opacities")
+        if heads is None
+        else heads
     )
+    out: Dict[str, jnp.ndarray] = {}
 
-    if z is None:
-        zfeat = jnp.zeros(x.shape[:-1] + (2,), x.dtype)
-    else:
-        zfeat = jnp.broadcast_to(z, x.shape[:-1] + (2,))
-    offsets = _apply_mlp(params["mlp_offsets"], jnp.concatenate([x, zfeat], -1))
-    opacities = jax.nn.sigmoid(_apply_mlp(params["mlp_opacities"], x))
+    x = None
+    if {"shs", "scales", "offsets", "opacities"} & set(want):
+        x = hash_encode(params["encoding"], pos, cfg.grid)
+    if "shs" in want:
+        out["shs"] = jax.nn.sigmoid(_apply_mlp(params["mlp_shs"], x))
+    if "scales" in want:
+        out["scales"] = (
+            jax.nn.sigmoid(_apply_mlp(params["mlp_scales"], x)) * 2e-2
+        )
 
-    return {
-        "shs": shs,
-        "scales": scales,
-        "quats": quats,
-        "offsets": offsets,
-        "opacities": opacities,
-    }
+    if "quats" in want:
+        xq = hash_encode(params["quat_encoding"], pos, cfg.grid)
+        quats = _apply_mlp(params["mlp_quats"], xq)
+        out["quats"] = quats / jnp.maximum(
+            jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+        )
+
+    if "offsets" in want:
+        if z is None:
+            zfeat = jnp.zeros(x.shape[:-1] + (2,), x.dtype)
+        else:
+            zfeat = jnp.broadcast_to(z, x.shape[:-1] + (2,))
+        out["offsets"] = _apply_mlp(
+            params["mlp_offsets"], jnp.concatenate([x, zfeat], -1)
+        )
+    if "opacities" in want:
+        out["opacities"] = jax.nn.sigmoid(
+            _apply_mlp(params["mlp_opacities"], x)
+        )
+    return out
 
 
 def reset_field(
@@ -125,23 +138,30 @@ def reset_field(
     cfg: AttributeFieldConfig = AttributeFieldConfig(),
     steps: int = 1000,
     lr: float = 1e-3,
-) -> Dict:
+) -> Tuple[Dict, jnp.ndarray]:
     """Distill explicit attributes into the field: 1000 Adam steps on
     mse(shs) + 1000*mse(scales) + mse(quats) (``sdf_fields.py:221-250``),
     run as one jitted scan (vs. a Python loop of 1000 separate CUDA launches
-    in the reference)."""
+    in the reference).  Returns ``(params, per-step losses)``.
+
+    Only the heads in the loss (shs/scales/quats + their encodings) enter
+    the optimized carry — the offsets/opacities heads have zero gradient
+    here, so evaluating them (and carrying their Adam moments) through the
+    1000-step scan would be pure waste."""
     xyz = jax.lax.stop_gradient(xyz)
     gt_shs = jax.lax.stop_gradient(gt_shs)
     gt_scales = jax.lax.stop_gradient(gt_scales)
     gt_quats = jax.lax.stop_gradient(gt_quats)
 
-    trainable = {k: v for k, v in params.items() if k != "aabb"}
+    frozen = ("aabb", "mlp_offsets", "mlp_opacities")
+    trainable = {k: v for k, v in params.items() if k not in frozen}
     aabb = params["aabb"]
     pos, _ = normalize_positions(xyz, aabb)
 
     def loss_fn(p):
         out = attribute_field_apply(
-            dict(p, aabb=aabb), pos, cfg=cfg, is_normalized=True
+            dict(p, aabb=aabb), pos, cfg=cfg, is_normalized=True,
+            heads=("shs", "scales", "quats"),
         )
         return (
             jnp.mean((out["shs"] - gt_shs) ** 2)
@@ -166,4 +186,6 @@ def reset_field(
         return p, losses
 
     trained, losses = run(trainable)
-    return dict(trained, aabb=aabb), losses
+    merged = dict(params)
+    merged.update(trained)
+    return merged, losses

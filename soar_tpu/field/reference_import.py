@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .attribute_field import _apply_mlp as _apply_layers
 from .hashgrid import HashGridConfig, hash_encode, normalize_positions
 
 _PRIMES = (1, 2654435761, 805459861)
@@ -210,13 +211,6 @@ class ReferenceField:
         table = self.quat_enc_table if quat else self.enc_table
         return hash_encode(table, pos, self.grid_cfg)
 
-
-def _apply_layers(layers, x):
-    for i, layer in enumerate(layers):
-        x = x @ layer["w"] + layer["b"]
-        if i < len(layers) - 1:
-            x = jax.nn.relu(x)
-    return x
 
 
 def reference_field_apply(

@@ -34,7 +34,9 @@ def splat_alpha(
     )
     alpha = jnp.minimum(alpha_clamp, opacity * jnp.exp(jnp.minimum(power, 0.0)))
     keep = (power <= 0.0) & (alpha >= alpha_min) & valid
-    return alpha * keep
+    # where() instead of alpha*keep: a NaN alpha (degenerate splat row
+    # reaching a padding slot) must mask to 0, not NaN*0 = NaN.
+    return jnp.where(keep, alpha, 0.0)
 
 
 def composite_weights(

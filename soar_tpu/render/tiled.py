@@ -309,6 +309,13 @@ def _rasterize_core(
         ],
         axis=-1,
     )
+    # Zero the rows of CULLED surfels: a degenerate projection (p_view.z
+    # near 0 -> inf/NaN xy/conic) is invalid, but its row is still
+    # gatherable as first-K PADDING of a short tile run (entries past
+    # ``counts`` clip into neighboring runs), and NaN survives the
+    # ``alpha * keep`` masking as NaN*0=NaN — poisoning pixels.  One [N, C]
+    # select kills inf/NaN at the source; valid rows are untouched.
+    packed = jnp.where(pre.valid[:, None], packed, 0.0)
 
     def gather(reverse: bool):
         """First-K gather of each tile's depth-ascending run.

@@ -84,6 +84,61 @@ def test_smplx_forward_param_dict():
     assert out.A.shape == (1, body.num_joints, 4, 4)
 
 
+def test_smplx_pose_mean_added():
+    """SMPL-X under flat_hand_mean=False adds the MANO hand means to the
+    full pose (``body_models.py:1321`` full_pose += pose_mean): a zero hand
+    pose must articulate like an explicit pose equal to the mean."""
+    body = make_test_body()
+    rng = np.random.RandomState(0)
+    pm = (rng.randn(body.num_joints * 3) * 0.1).astype(np.float32)
+    body_pm = body._replace(pose_mean=jnp.asarray(pm))
+
+    params = {
+        "betas": jnp.zeros((1, body.num_betas)),
+        "global_orient": jnp.zeros((1, 3)),
+        "body_pose": jnp.zeros((1, (body.num_joints - 1) * 3)),
+    }
+    out_mean = smplx_forward(body_pm, params)
+    explicit = {
+        "betas": params["betas"],
+        "global_orient": pm[None, :3],
+        "body_pose": pm[None, 3:],
+    }
+    out_explicit = smplx_forward(body, explicit)
+    np.testing.assert_allclose(
+        np.asarray(out_mean.vertices),
+        np.asarray(out_explicit.vertices),
+        atol=1e-5,
+    )
+    # No pose_mean (SMPL / test body): zero pose stays the rest pose.
+    out_rest = smplx_forward(body, params)
+    np.testing.assert_allclose(
+        np.asarray(out_rest.vertices),
+        np.asarray(body.v_template)[None],
+        atol=1e-5,
+    )
+
+
+def test_smplx_forward_batch_from_orient_only():
+    """Batch size must come from ANY batched param (review finding: it was
+    inferred only from betas/body_pose, crashing on batched global_orient
+    with unbatched everything-else)."""
+    body = make_test_body()
+    params = {
+        "betas": jnp.zeros((1, body.num_betas)),
+        "global_orient": jnp.zeros((4, 3)),
+    }
+    out = smplx_forward(body, params)
+    assert out.vertices.shape[0] == 4
+    # Unbatched 1-D pose vectors must not be mistaken for a batch axis.
+    params2 = {
+        "betas": jnp.zeros((1, body.num_betas)),
+        "body_pose": jnp.zeros(((body.num_joints - 1) * 3,)),
+    }
+    out2 = smplx_forward(body, params2)
+    assert out2.vertices.shape[0] == 1
+
+
 def test_knn_idw_weights_matches_bruteforce():
     key = jax.random.PRNGKey(0)
     verts = jax.random.normal(key, (200, 3))

@@ -469,3 +469,41 @@ def test_overflow_counters():
 
     starved_s = rasterize(g, cam, (64, 64), bg, RasterConfig(max_per_tile=96, dup_side=1))
     assert int(starved_s.overflow[1]) > 0
+
+
+def test_degenerate_camera_plane_surfel_stays_finite():
+    """A surfel at (or within float noise of) the camera plane produces
+    inf/NaN in its projected row; it is culled, but its packed row is still
+    reachable as first-K PADDING of short tile runs.  The image and its
+    gradient must stay finite (NaN-defense: zeroed invalid rows +
+    select-based alpha masking)."""
+    g = make_scene(n=40)
+    cam = make_camera(dist=2.0)
+    # Place surfels exactly on and just behind the camera plane: view-space
+    # z == 0 and z < 0.  Camera position in world space:
+    cam_pos = np.asarray(
+        jnp.linalg.inv(cam.w2c) @ jnp.array([0.0, 0.0, 0.0, 1.0])
+    )[:3]
+    means = np.array(g.means3d)
+    means[0] = cam_pos  # z exactly 0
+    means[1] = cam_pos * 1.001  # slightly behind
+    means[2] = np.nan  # fully degenerate row (e.g. upstream LBS blowup)
+    g = g._replace(means3d=jnp.asarray(means))
+
+    cfg = RasterConfig(max_per_tile=32, dup_side=3)
+    out = rasterize(g, cam, (64, 64), jnp.zeros(3), cfg)
+    assert np.isfinite(np.asarray(out.color)).all()
+    assert np.isfinite(np.asarray(out.depth)).all()
+
+    def loss(means3d):
+        o = rasterize(
+            g._replace(means3d=means3d), cam, (64, 64), jnp.zeros(3), cfg
+        )
+        return jnp.sum(o.color) + jnp.sum(o.normal)
+
+    grad = np.asarray(jax.grad(loss)(g.means3d))
+    # The NaN surfel's OWN gradient goes through a NaN projection Jacobian
+    # (0-cotangent * NaN = NaN) — unavoidable and harmless (the optimizer
+    # never receives NaN params from finite ones); every other surfel's
+    # gradient must be finite.
+    assert np.isfinite(grad[:2]).all() and np.isfinite(grad[3:]).all()
