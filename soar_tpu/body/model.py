@@ -150,9 +150,18 @@ def assemble_smplx_pose(
         if p is None:
             p = jnp.zeros((batch, njoints * 3))
         else:
-            p = jnp.reshape(p, (batch, njoints * 3))
+            p = _to_batch(p, batch, njoints * 3)
         parts.append(p)
     return jnp.concatenate(parts, axis=-1)
+
+
+def _to_batch(p: jnp.ndarray, batch: int, n: int) -> jnp.ndarray:
+    """[n] / [1, n] / [batch, n] -> [batch, n] (unbatched params broadcast;
+    a genuine row mismatch still errors in broadcast_to)."""
+    p = jnp.reshape(p, (-1, n))
+    if p.shape[0] != batch:
+        p = jnp.broadcast_to(p, (batch, n))
+    return p
 
 
 def smplx_forward(
@@ -182,8 +191,9 @@ def smplx_forward(
     if n_expr > 0:
         if expr is None:
             expr = jnp.zeros((B, n_expr))
+        expr = jnp.atleast_2d(expr)[:, :n_expr]  # may carry extra coeffs
         shape_components = jnp.concatenate(
-            [betas[:, : model.num_betas], jnp.reshape(expr, (B, -1))[:, :n_expr]],
+            [betas[:, : model.num_betas], _to_batch(expr, B, n_expr)],
             axis=-1,
         )
     else:
@@ -196,7 +206,7 @@ def smplx_forward(
         full_pose = full_pose + model.pose_mean
     transl = params.get("transl")
     if transl is not None:
-        transl = jnp.reshape(transl, (B, 3))
+        transl = _to_batch(transl, B, 3)
     return lbs(model, shape_components, full_pose, transl)
 
 

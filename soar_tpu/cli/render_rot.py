@@ -134,9 +134,11 @@ def main(argv=None):
             from ..io.checkpoint import (
                 import_reference_ckpt,
                 import_reference_field_from_ckpt,
+                load_reference_state_dict,
             )
 
-            mapped = import_reference_ckpt(args.ckpt)
+            ref_sd = load_reference_state_dict(args.ckpt)
+            mapped = import_reference_ckpt(args.ckpt, state_dict=ref_sd)
             params = params._replace(
                 **{k: jnp.asarray(v) for k, v in mapped.items()}
             )
@@ -146,7 +148,9 @@ def main(argv=None):
                 # (``test/render_rot.py:129-135``, ``diff_gaussian_
                 # rasterizer.py:88-102``); canonical xyz is fixed at
                 # inference, so one evaluation serves every view.
-                rf = import_reference_field_from_ckpt(args.ckpt)
+                rf = import_reference_field_from_ckpt(
+                    args.ckpt, state_dict=ref_sd
+                )
                 if rf is not None:
                     from ..field.reference_import import reference_field_apply
 

@@ -42,6 +42,22 @@ def resolve_stage_cfg(yaml_cfg, st: int, steps_arg):
     return StageConfig(max_steps=n) if st == 0 else stage1_config(n)
 
 
+def resolve_cli_stage(arg_stage, yaml_cfg) -> str:
+    """Resolve the stage(s) to run: an EXPLICIT --stage (including "both")
+    always wins; otherwise a --config YAML's single stage; otherwise both.
+    (Review finding: "both" doubled as the argparse default, so the YAML
+    stage unconditionally replaced it and two-stage --config runs were
+    impossible.)"""
+    if arg_stage is not None:
+        return arg_stage
+    if yaml_cfg is not None:
+        ys = yaml_cfg["stage"]
+        print(f"--config defines stage {ys.training_stage}; running only "
+              "that stage (pass --stage 0|1|both to override)")
+        return str(ys.training_stage)
+    return "both"
+
+
 def resolve_guidance_kind(kind: str, from_yaml: bool, *, ckpt, embeddings,
                           clip_dir, mock: bool) -> str:
     """Gate guidance on its user-supplied weights.  A YAML-requested
@@ -78,7 +94,10 @@ def main(argv=None):
     ap.add_argument("--dataroot", type=str, default=None)
     ap.add_argument("--smpl-model", type=str, default=None)
     ap.add_argument("--out", type=str, default="outputs/run")
-    ap.add_argument("--stage", type=str, default="both", choices=["0", "1", "both"])
+    ap.add_argument(
+        "--stage", type=str, default=None, choices=["0", "1", "both"],
+        help="default: the --config YAML's stage if given, else both",
+    )
     ap.add_argument(
         "--steps", type=int, default=None,
         help="steps per stage (default: the YAML's trainer.max_steps when "
@@ -175,11 +194,7 @@ def main(argv=None):
             guidance_from_yaml = True
         if args.guidance_ckpt is None and yaml_cfg["guidance_ckpt"]:
             args.guidance_ckpt = str(yaml_cfg["guidance_ckpt"])
-        ys = yaml_cfg["stage"]
-        if args.stage == "both":
-            args.stage = str(ys.training_stage)
-            print(f"--config defines stage {ys.training_stage}; running only "
-                  "that stage (pass --stage to override)")
+    args.stage = resolve_cli_stage(args.stage, yaml_cfg)
     if args.guidance is None:
         args.guidance = "none"
 
@@ -278,11 +293,11 @@ def main(argv=None):
             )
 
     stages = {"0": [0], "1": [1], "both": [0, 1]}[args.stage]
-    for st in stages:
-        import dataclasses as dc
 
+    import dataclasses as dc
+
+    def _resolve_stage(st):
         stage_cfg = resolve_stage_cfg(yaml_cfg, st, args.steps)
-
         if not has_normals:
             stage_cfg = dc.replace(
                 stage_cfg,
@@ -296,71 +311,86 @@ def main(argv=None):
             )
         if args.sds_start is not None:
             stage_cfg = dc.replace(stage_cfg, sds_start=args.sds_start)
+        return stage_cfg
 
-        args.guidance = resolve_guidance_kind(
+    # Guidance networks load/convert/upload ONCE; per-stage scalars rebind
+    # via guidance.for_stage below (a --stage both run must not torch.load
+    # and convert the multi-GB checkpoint twice).
+    args.guidance = resolve_guidance_kind(
+        args.guidance,
+        guidance_from_yaml,
+        ckpt=args.guidance_ckpt,
+        embeddings=args.prompt_embeddings,
+        clip_dir=args.clip_model_dir,
+        mock=args.mock_guidance,
+    )
+    base_guidance = None
+    if args.guidance != "none":
+        from ..guidance.build import build_guidance
+
+        text_emb = None
+        if args.prompt_embeddings or args.clip_model_dir:
+            from ..guidance.prompt import PromptProcessor
+
+            text_emb = PromptProcessor(
+                args.prompt or "",
+                embeddings_path=args.prompt_embeddings,
+                clip_model_dir=args.clip_model_dir,
+            )()
+        base_guidance = build_guidance(
             args.guidance,
-            guidance_from_yaml,
-            ckpt=args.guidance_ckpt,
-            embeddings=args.prompt_embeddings,
-            clip_dir=args.clip_model_dir,
+            _resolve_stage(stages[0]),
+            key=jax.random.PRNGKey(args.seed + 100),
+            ckpt_path=args.guidance_ckpt,
+            text_embeddings=text_emb,
             mock=args.mock_guidance,
+            image_size=args.guidance_image_size,
+            n_view=args.n_views,
+            dtype=jnp.bfloat16 if args.guidance_dtype == "bf16"
+            else jnp.float32,
         )
-        guidance_fn = None
-        if args.guidance != "none":
-            from ..guidance.build import build_guidance
+        print(f"guidance: {args.guidance} "
+              f"({'mock' if args.mock_guidance and not args.guidance_ckpt else args.guidance_ckpt}, "
+              f"{args.guidance_dtype})")
 
-            text_emb = None
-            if args.prompt_embeddings or args.clip_model_dir:
-                from ..guidance.prompt import PromptProcessor
-
-                text_emb = PromptProcessor(
-                    args.prompt or "",
-                    embeddings_path=args.prompt_embeddings,
-                    clip_model_dir=args.clip_model_dir,
-                )()
-            guidance_fn = build_guidance(
-                args.guidance,
-                stage_cfg,
-                key=jax.random.PRNGKey(args.seed + 100),
-                ckpt_path=args.guidance_ckpt,
-                text_embeddings=text_emb,
-                mock=args.mock_guidance,
-                image_size=args.guidance_image_size,
-                n_view=args.n_views,
-                dtype=jnp.bfloat16 if args.guidance_dtype == "bf16"
-                else jnp.float32,
-            )
-            print(f"guidance: {args.guidance} "
-                  f"({'mock' if args.mock_guidance and not args.guidance_ckpt else args.guidance_ckpt}, "
-                  f"{args.guidance_dtype})")
-
-        # Precompute the per-frame ImageDream ip tokens (CLIP + Resampler on
-        # the GT crop / normal_F): the reference re-encodes every step
-        # (``imagedream_guidance.py:195``); here it runs once per frame and
-        # keeps the CLIP tower out of the train-step program.
-        ip_table = None
-        if guidance_fn is not None and getattr(guidance_fn, "embed_ref", None):
+    # Precompute the per-frame ImageDream ip tokens (CLIP + Resampler on
+    # the GT crop / normal_F): the reference re-encodes every step
+    # (``imagedream_guidance.py:195``); here it runs once per frame — for
+    # EVERY stage about to run (their refs differ) — and the CLIP tower is
+    # then freed from HBM before any training starts.
+    ip_tables = {}
+    if base_guidance is not None and base_guidance.embed_ref is not None:
+        for st in stages:
             refs = (
                 ds.images_crop
-                if stage_cfg.training_stage == 1
+                if st == 1
                 else (ds.normal_F if has_normals else None)
             )
             if refs is not None and len(refs):
                 t_ip = time.time()
-                ip_table = np.stack(
+                ip_tables[st] = np.stack(
                     [
                         np.asarray(
-                            guidance_fn.embed_ref(jnp.asarray(r[..., :3]))
+                            base_guidance.embed_ref(jnp.asarray(r[..., :3]))
                         )
                         for r in refs
                     ]
                 )
                 print(
                     f"precomputed ip tokens for {len(refs)} frames "
-                    f"({time.time()-t_ip:.1f}s)"
+                    f"(stage {st}, {time.time()-t_ip:.1f}s)"
                 )
-                # All frames embedded: free the 1.3 GB CLIP tower from HBM.
-                guidance_fn.release_image_encoder()
+        # All frames for all stages embedded: free the 1.3 GB CLIP tower.
+        base_guidance.release_image_encoder()
+
+    for st in stages:
+        stage_cfg = _resolve_stage(st)
+        guidance_fn = (
+            base_guidance.for_stage(stage_cfg)
+            if base_guidance is not None
+            else None
+        )
+        ip_table = ip_tables.get(st)
 
         import contextlib
 
@@ -394,6 +424,12 @@ def main(argv=None):
             params, model, cfg, seed=args.seed, stage=stage_cfg
         )
         split_sds = guidance_fn is not None and args.sds_mode == "split"
+        # fused mode routes through apply_with_params: the network weights
+        # enter the single train-step program as jit ARGUMENTS, never as
+        # closure constants (multi-GB constants bake into the serialized
+        # program — the axon-transport failure documented in guidance/build).
+        sds_via_params = guidance_fn is not None and args.sds_mode == "fused"
+        gparams = guidance_fn.arg_params if sds_via_params else None
         raw_step = make_train_step(
             model,
             cfg,
@@ -408,6 +444,7 @@ def main(argv=None):
             lpips_fn=lpips_fn,
             guidance_fn=guidance_fn,
             split_sds=split_sds,
+            sds_via_params=sds_via_params,
             shard_views=shard_views_fn,
             shard_gt=shard_gt_fn,
             # With selective remat (named rasterizer residuals) the full
@@ -475,6 +512,7 @@ def main(argv=None):
         n_steps = stage_cfg.max_steps
         mesh_ctx.__enter__()
         state = _rep(state)
+        gparams = _rep(gparams) if gparams is not None else None
         for it in range(n_steps):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
@@ -493,9 +531,12 @@ def main(argv=None):
                     batch["sds_target"] = prelude_fn(
                         state, batch, k1, ref_ip=batch.get("ref_ip")
                     )
-                state, metrics = (warm_step_fn if warm else step_fn)(
-                    state, batch, k1
-                )
+                if warm:
+                    state, metrics = warm_step_fn(state, batch, k1)
+                elif sds_via_params:
+                    state, metrics = step_fn(state, batch, k1, gparams)
+                else:
+                    state, metrics = step_fn(state, batch, k1)
             if trace_ctx and it + 1 == args.trace_steps:
                 trace_ctx.__exit__(None, None, None)
                 trace_ctx = None

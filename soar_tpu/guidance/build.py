@@ -228,7 +228,10 @@ def build_guidance(
     # ONE copy of the image-conditioning weights, cast to the compute dtype
     # (a second f32 CLIP copy OOMed the chip next to the UNet), held in a
     # mutable holder so release_image_encoder can actually free the HBM.
+    # ONE wrapper serves both the per-frame precompute (``embed_ref``) and
+    # MultiviewGuidance's in-call fallback.
     image_embed_fn = None
+    _release = lambda: None  # noqa: E731
     _enc_holder = {"clip": None, "res": None}
     if kind == "imagedream":
         if ckpt_path is not None and "clip" in variables and "resampler" in variables:
@@ -252,66 +255,6 @@ def build_guidance(
         _enc_holder["res"] = jax.device_put(_cast_tree(res_v, dtype))
         del clip_v, res_v
 
-        def image_embed_fn(img):
-            if _enc_holder["clip"] is None:
-                raise RuntimeError(
-                    "image encoder released (release_image_encoder); "
-                    "rebuild the guidance to embed again"
-                )
-            fn = make_image_embed_fn(
-                _enc_holder["clip"], _enc_holder["res"],
-                shapes.clip_cfg, shapes.resampler_cfg,
-            )
-            return fn(img)
-
-    if text_embeddings is None:
-        if not (mock or tiny):
-            raise ValueError("text_embeddings required unless mock/tiny")
-        text_embeddings = jax.random.normal(
-            k_txt, (2, 77, shapes.context_dim)
-        )
-    text_embeddings = jnp.asarray(text_embeddings, jnp.float32)
-
-    gcfg = GuidanceConfig(
-        guidance_scale=stage.guidance_scale,
-        min_step_percent=stage.min_step_percent,
-        max_step_percent=stage.max_step_percent,
-        n_view=n_view,
-        image_size=image_size,
-    )
-    mv = MultiviewGuidance(
-        gcfg,
-        encode_fn,
-        denoise_fn,
-        text_embeddings,
-        image_embed_fn=image_embed_fn,
-    )
-
-    def guidance_fn(inp, c2w, step, key, ref_rgb=None, ref_mask=None,
-                    comp_bg=None, ref_ip=None):
-        if kind != "imagedream":
-            ref_rgb = ref_ip = None
-        return mv(
-            inp, c2w, key, step,
-            ref_rgb=ref_rgb if ref_ip is None else None,
-            ref_mask=ref_mask,
-            comp_bg=comp_bg,
-            ref_ip=ref_ip,
-        )
-
-    # Per-frame ip precompute hook: ref images are GT data, so callers embed
-    # them ONCE at startup and feed `ref_ip` through the batch — keeping the
-    # CLIP tower out of the train-step XLA program and running it 1x/frame
-    # instead of 1x/step.
-    #
-    # CRITICAL for the axon transport: the network weights are passed to the
-    # jitted programs as ARGUMENTS (via closure-free impl functions), never
-    # as closure captures — closed-over arrays bake into the serialized
-    # program as constants, and shipping the 1.7 GB UNet that way broke the
-    # remote-compile pipe.  As arguments, the full 320-ch UNet compiles in
-    # ~30 s and steps in ~13 ms (measured on the real chip).
-    if image_embed_fn is not None:
-
         @jax.jit
         def _embed_impl(cv, rv, img):
             fn = make_image_embed_fn(
@@ -319,7 +262,7 @@ def build_guidance(
             )
             return fn(img)
 
-        def _embed_ref(img):
+        def image_embed_fn(img):
             if _enc_holder["clip"] is None:
                 raise RuntimeError(
                     "image encoder released (release_image_encoder was "
@@ -333,99 +276,166 @@ def build_guidance(
             _enc_holder["clip"] = None
             _enc_holder["res"] = None
 
-        guidance_fn.embed_ref = _embed_ref
-        guidance_fn.release_image_encoder = _release
-    else:
-        guidance_fn.embed_ref = None
-        guidance_fn.release_image_encoder = lambda: None
-
-    # Split-SDS handles (trainer ``split_sds=True``): the grad half
-    # (resize+VAE) stays inside the train step; the no-grad half (noise +
-    # frozen UNet + CFG + x0 target) compiles as its OWN executable — the
-    # functional mirror of the reference's separate SDS backward
-    # (``gaussian_surfel_mvdream.py:465-469``).
-    guidance_fn.encode_latents = mv.encode_latents
-
-    @jax.jit
-    def _target_impl(uv, text_emb, latents, c2w, key, step, ref_ip):
-        def denoise(lat, t, ctx):
-            c = dict(ctx)
-            for k in ("context", "camera", "ip"):
-                if k in c:
-                    c[k] = c[k].astype(dtype)
-            return unet.apply(uv, lat.astype(dtype), t, c).astype(jnp.float32)
-
-        tmp = MultiviewGuidance(gcfg, None, denoise, text_emb)
-        return tmp.compute_target(latents, c2w, key, step, ref_ip=ref_ip)[0]
-
-    guidance_fn.compute_target = (
-        lambda latents, c2w, key, step, ref_ip=None: _target_impl(
-            unet_vars, text_embeddings, latents, c2w, key, step, ref_ip
+    if text_embeddings is None:
+        if not (mock or tiny):
+            raise ValueError("text_embeddings required unless mock/tiny")
+        text_embeddings = jax.random.normal(
+            k_txt, (2, 77, shapes.context_dim)
         )
-    )
+    text_embeddings = jnp.asarray(text_embeddings, jnp.float32)
 
-    def make_fused_prelude(prelude_fn):
-        """ONE program for the whole no-grad SDS half: lite gen renders +
-        VAE encode (``prelude_fn``, the trainer's raw ``sds_prelude``) +
-        frozen-UNet x0 target — replacing the prelude/target two-dispatch
-        sequence.  The diffusion weights still arrive as jit ARGUMENTS
-        (axon transport rule above), and XLA can overlap the UNet with the
-        tail of the renders.  Returns ``fused(state, batch, key, ref_ip)
-        -> sds_target``."""
+    # All heavy state (converted + device-committed weights, the CLIP
+    # holder, text embeddings) lives ABOVE this line and is built exactly
+    # once; ``_assemble`` only binds the cheap per-stage scalars
+    # (guidance_scale, timestep window).  ``guidance_fn.for_stage(stage)``
+    # therefore rebinds a new stage WITHOUT re-running torch.load / the
+    # converters / the device upload — ``--stage both`` reuses everything.
+    def _assemble(stage: StageConfig) -> Callable:
+        gcfg = GuidanceConfig(
+            guidance_scale=stage.guidance_scale,
+            min_step_percent=stage.min_step_percent,
+            max_step_percent=stage.max_step_percent,
+            n_view=n_view,
+            image_size=image_size,
+        )
+        mv = MultiviewGuidance(
+            gcfg,
+            encode_fn,
+            denoise_fn,
+            text_embeddings,
+            image_embed_fn=image_embed_fn,
+        )
+
+        def guidance_fn(inp, c2w, step, key, ref_rgb=None, ref_mask=None,
+                        comp_bg=None, ref_ip=None):
+            if kind != "imagedream":
+                ref_rgb = ref_ip = None
+            return mv(
+                inp, c2w, key, step,
+                ref_rgb=ref_rgb if ref_ip is None else None,
+                ref_mask=ref_mask,
+                comp_bg=comp_bg,
+                ref_ip=ref_ip,
+            )
+
+        # Per-frame ip precompute hook: ref images are GT data, so callers
+        # embed them ONCE at startup and feed `ref_ip` through the batch —
+        # keeping the CLIP tower out of the train-step XLA program and
+        # running it 1x/frame instead of 1x/step.
+        #
+        # CRITICAL for the axon transport: the network weights are passed to
+        # the jitted programs as ARGUMENTS (via closure-free impl
+        # functions), never as closure captures — closed-over arrays bake
+        # into the serialized program as constants, and shipping the 1.7 GB
+        # UNet that way broke the remote-compile pipe.  As arguments, the
+        # full 320-ch UNet compiles in ~30 s and steps in ~13 ms (measured
+        # on the real chip).
+        guidance_fn.embed_ref = image_embed_fn
+        guidance_fn.release_image_encoder = _release
+
+        # Split-SDS handles (trainer ``split_sds=True``): the grad half
+        # (resize+VAE) stays inside the train step; the no-grad half (noise
+        # + frozen UNet + CFG + x0 target) compiles as its OWN executable —
+        # the functional mirror of the reference's separate SDS backward
+        # (``gaussian_surfel_mvdream.py:465-469``).
+        guidance_fn.encode_latents = mv.encode_latents
 
         @jax.jit
-        def _fused(state, batch, key, uv, text_emb, ref_ip):
-            latents, c2w, k_sds = prelude_fn(state, batch, key)
-            return _target_impl(
-                uv, text_emb, latents, c2w, k_sds, state.step, ref_ip
+        def _target_impl(uv, text_emb, latents, c2w, key, step, ref_ip):
+            def denoise(lat, t, ctx):
+                c = dict(ctx)
+                for k in ("context", "camera", "ip"):
+                    if k in c:
+                        c[k] = c[k].astype(dtype)
+                return unet.apply(uv, lat.astype(dtype), t, c).astype(
+                    jnp.float32
+                )
+
+            tmp = MultiviewGuidance(gcfg, None, denoise, text_emb)
+            return tmp.compute_target(latents, c2w, key, step, ref_ip=ref_ip)[0]
+
+        guidance_fn.compute_target = (
+            lambda latents, c2w, key, step, ref_ip=None: _target_impl(
+                unet_vars, text_embeddings, latents, c2w, key, step, ref_ip
             )
-
-        def fused(state, batch, key, ref_ip=None):
-            return _fused(
-                state, batch, key, unet_vars, text_embeddings, ref_ip
-            )
-
-        return fused
-
-    guidance_fn.make_fused_prelude = make_fused_prelude
-
-    # Fused-args handles (trainer ``sds_via_params=True``): the WHOLE SDS
-    # computation traces inside the train step, but the network weights
-    # arrive as a jit ARGUMENT pytree (``arg_params``) instead of closure
-    # constants — transport-safe, and it removes the split mode's duplicate
-    # gen-view forward + two extra program dispatches per step.  Image
-    # conditioning must come as precomputed ``ref_ip`` tokens (the CLIP
-    # tower stays out of the step).
-    guidance_fn.arg_params = {
-        "unet": unet_vars,
-        "vae": vae_vars,
-        "text": text_embeddings,
-    }
-
-    def apply_with_params(gp, inp, c2w, step, key, ref_rgb=None,
-                          ref_mask=None, comp_bg=None, ref_ip=None):
-        def enc(images01, k):
-            z = vae.apply(gp["vae"], images01.astype(dtype), k)
-            return z.astype(jnp.float32)
-
-        def den(lat, t, ctx):
-            c = dict(ctx)
-            for kk in ("context", "camera", "ip"):
-                if kk in c:
-                    c[kk] = c[kk].astype(dtype)
-            return unet.apply(gp["unet"], lat.astype(dtype), t, c).astype(
-                jnp.float32
-            )
-
-        tmp = MultiviewGuidance(gcfg, enc, den, gp["text"])
-        return tmp(
-            inp, c2w, key, step,
-            ref_mask=ref_mask, comp_bg=comp_bg,
-            ref_ip=ref_ip if kind == "imagedream" else None,
         )
 
-    guidance_fn.apply_with_params = apply_with_params
-    return guidance_fn
+        def make_fused_prelude(prelude_fn):
+            """ONE program for the whole no-grad SDS half: lite gen renders
+            + VAE encode (``prelude_fn``, the trainer's raw ``sds_prelude``)
+            + frozen-UNet x0 target — replacing the prelude/target
+            two-dispatch sequence.  The diffusion weights still arrive as
+            jit ARGUMENTS (axon transport rule above), and XLA can overlap
+            the UNet with the tail of the renders.  Returns
+            ``fused(state, batch, key, ref_ip) -> sds_target``."""
+
+            @jax.jit
+            def _fused(state, batch, key, uv, vv, text_emb, ref_ip):
+                # VAE weights as jit args too (not just the UNet): a
+                # closure-constant VAE would re-bake 160 MB into this
+                # program's serialization.
+                def enc(images01, k):
+                    z = vae.apply(vv, images01.astype(dtype), k)
+                    return z.astype(jnp.float32)
+
+                tmp = MultiviewGuidance(gcfg, enc, None, text_emb)
+                latents, c2w, k_sds = prelude_fn(
+                    state, batch, key, encode_latents=tmp.encode_latents
+                )
+                return _target_impl(
+                    uv, text_emb, latents, c2w, k_sds, state.step, ref_ip
+                )
+
+            def fused(state, batch, key, ref_ip=None):
+                return _fused(
+                    state, batch, key, unet_vars, vae_vars,
+                    text_embeddings, ref_ip,
+                )
+
+            return fused
+
+        guidance_fn.make_fused_prelude = make_fused_prelude
+
+        # Fused-args handles (trainer ``sds_via_params=True``): the WHOLE
+        # SDS computation traces inside the train step, but the network
+        # weights arrive as a jit ARGUMENT pytree (``arg_params``) instead
+        # of closure constants — transport-safe, and it removes the split
+        # mode's duplicate gen-view forward + two extra program dispatches
+        # per step.  Image conditioning must come as precomputed ``ref_ip``
+        # tokens (the CLIP tower stays out of the step).
+        guidance_fn.arg_params = {
+            "unet": unet_vars,
+            "vae": vae_vars,
+            "text": text_embeddings,
+        }
+
+        def apply_with_params(gp, inp, c2w, step, key, ref_rgb=None,
+                              ref_mask=None, comp_bg=None, ref_ip=None):
+            def enc(images01, k):
+                z = vae.apply(gp["vae"], images01.astype(dtype), k)
+                return z.astype(jnp.float32)
+
+            def den(lat, t, ctx):
+                c = dict(ctx)
+                for kk in ("context", "camera", "ip"):
+                    if kk in c:
+                        c[kk] = c[kk].astype(dtype)
+                return unet.apply(gp["unet"], lat.astype(dtype), t, c).astype(
+                    jnp.float32
+                )
+
+            tmp = MultiviewGuidance(gcfg, enc, den, gp["text"])
+            return tmp(
+                inp, c2w, key, step,
+                ref_mask=ref_mask, comp_bg=comp_bg,
+                ref_ip=ref_ip if kind == "imagedream" else None,
+            )
+
+        guidance_fn.apply_with_params = apply_with_params
+        guidance_fn.for_stage = _assemble
+        return guidance_fn
+
+    return _assemble(stage)
 
 
 def _mock_clip_vars(key, clip_cfg, resampler_cfg):

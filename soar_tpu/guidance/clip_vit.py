@@ -219,18 +219,7 @@ class Resampler(nn.Module):
 # torch -> flax weight conversion
 
 
-def _lin(sd, prefix):
-    out = {"kernel": np.asarray(sd[prefix + ".weight"]).T}
-    if prefix + ".bias" in sd:
-        out["bias"] = np.asarray(sd[prefix + ".bias"])
-    return out
-
-
-def _ln(sd, prefix):
-    return {
-        "scale": np.asarray(sd[prefix + ".weight"]),
-        "bias": np.asarray(sd[prefix + ".bias"]),
-    }
+from ..core.torch_convert import lin as _lin, norm as _ln  # noqa: E402
 
 
 def convert_clip_vit_torch_params(

@@ -331,10 +331,7 @@ class _VAEAttn(nn.Module):
 # user's downloaded MVDream/ImageDream or SD checkpoints).
 
 
-def _conv_kernel(w):
-    import numpy as np
-
-    return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
+from ..core.torch_convert import conv_kernel as _conv_kernel  # noqa: E402
 
 
 def convert_vae_torch_params(sd: Dict) -> Dict:

@@ -59,8 +59,22 @@ _REF_KEYMAP = {
 }
 
 
+def load_reference_state_dict(path: str) -> Dict:
+    """torch.load a reference Lightning ``.ckpt`` once; shared by the
+    explicit-tensor and attribute-field importers so ``cli/render_rot``
+    deserializes the (multi-hundred-MB) checkpoint a single time."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return sd
+
+
 def import_reference_ckpt(
-    path: str, like: Optional[AvatarParams] = None
+    path: str,
+    like: Optional[AvatarParams] = None,
+    state_dict: Optional[Dict] = None,
 ) -> Dict[str, np.ndarray]:
     """Load a reference Lightning ``.ckpt`` and map the explicit surfel
     parameters to our field names.
@@ -73,11 +87,7 @@ def import_reference_ckpt(
     alone reproduce the geometry; colors come from ``_colors`` in
     use_explicit mode, cf. ``renderer/diff_gaussian_rasterizer.py:240-244``).
     """
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if "state_dict" in sd:
-        sd = sd["state_dict"]
+    sd = load_reference_state_dict(path) if state_dict is None else state_dict
     out = {}
     for ref_key, field in _REF_KEYMAP.items():
         if ref_key in sd:
@@ -90,19 +100,15 @@ def import_reference_ckpt(
     return out
 
 
-def import_reference_field_from_ckpt(path: str):
+def import_reference_field_from_ckpt(path: str, state_dict: Optional[Dict] = None):
     """Import the ``geometry.attribute_field.*`` weights of a reference
     Lightning ``.ckpt`` (consumed the same way at ``test/render_rot.py:
     129-135``) as a :class:`soar_tpu.field.reference_import.ReferenceField`,
     or None if the checkpoint carries no field.  Handles both nerfstudio
     implementations (tcnn packed buffers / torch hash tables)."""
-    import torch
-
     from ..field.reference_import import import_reference_field
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if "state_dict" in sd:
-        sd = sd["state_dict"]
+    sd = load_reference_state_dict(path) if state_dict is None else state_dict
     prefix = "geometry.attribute_field."
     field_sd = {
         k: v.detach().cpu().numpy()

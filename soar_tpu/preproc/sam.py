@@ -463,37 +463,12 @@ def load_sam_predictor(checkpoint_path: Optional[str], cfg: SAMConfig = SAMConfi
 # torch -> flax conversion
 
 
-def _lin(sd, prefix):
-    out = {"kernel": np.asarray(sd[prefix + ".weight"]).T}
-    if prefix + ".bias" in sd:
-        out["bias"] = np.asarray(sd[prefix + ".bias"])
-    return out
-
-
-def _conv(sd, prefix):
-    out = {
-        "kernel": np.transpose(np.asarray(sd[prefix + ".weight"]), (2, 3, 1, 0))
-    }
-    if prefix + ".bias" in sd:
-        out["bias"] = np.asarray(sd[prefix + ".bias"])
-    return out
-
-
-def _convT(sd, prefix):
-    # torch ConvTranspose2d weight is [in, out, kH, kW]; flax wants HWIO.
-    out = {
-        "kernel": np.transpose(np.asarray(sd[prefix + ".weight"]), (2, 3, 0, 1))
-    }
-    if prefix + ".bias" in sd:
-        out["bias"] = np.asarray(sd[prefix + ".bias"])
-    return out
-
-
-def _ln(sd, prefix):
-    return {
-        "scale": np.asarray(sd[prefix + ".weight"]),
-        "bias": np.asarray(sd[prefix + ".bias"]),
-    }
+from ..core.torch_convert import (  # noqa: E402
+    conv as _conv,
+    conv_transpose as _convT,
+    lin as _lin,
+    norm as _ln,
+)
 
 
 def convert_sam_params(sd: Dict, cfg: SAMConfig = SAMConfig()) -> Dict:

@@ -514,11 +514,14 @@ def make_train_step(
         metrics["loss"] = loss
         return loss, metrics
 
-    def sds_prelude(state: TrainState, batch, key):
+    def sds_prelude(state: TrainState, batch, key, encode_latents=None):
         """Forward-only gen pass + latents for the split-SDS target program:
         returns (latents [V,h,w,4], c2w [V,4,4], k_sds).  Shares ``gen_pass``
         with ``loss_fn`` so the RNG (cameras, bg aug, encoder noise) is
-        byte-identical to the step that will consume the target."""
+        byte-identical to the step that will consume the target.
+        ``encode_latents`` overrides the guidance's encoder so the caller
+        can pass the VAE weights as jit arguments (build_guidance's
+        ``make_fused_prelude``)."""
         params = state.params
         attrs = None if use_explicit else query_attributes(params, model)
         gv = gen_pass(
@@ -529,7 +532,8 @@ def make_train_step(
             inp = gv["comp_rgb"]
         else:
             inp = gv["gen"]["normal"]
-        lat = guidance_fn.encode_latents(inp, gv["k_sds"])
+        enc = encode_latents or guidance_fn.encode_latents
+        lat = enc(inp, gv["k_sds"])
         return lat, gv["c2w"], gv["k_sds"]
 
     def train_step(state: TrainState, batch, key, gparams=None):

@@ -130,6 +130,19 @@ def test_smplx_forward_batch_from_orient_only():
     }
     out = smplx_forward(body, params)
     assert out.vertices.shape[0] == 4
+    # Mixed: one batched segment, the rest provided-but-unbatched — every
+    # unbatched segment must broadcast, not crash in reshape (review repro).
+    params_mixed = {
+        "betas": jnp.zeros((1, body.num_betas)),
+        "global_orient": jnp.zeros((1, 3)),
+        "body_pose": jnp.zeros((4, (body.num_joints - 1) * 3)),
+        "transl": jnp.ones((1, 3)),
+    }
+    out_m = smplx_forward(body, params_mixed)
+    assert out_m.vertices.shape[0] == 4
+    np.testing.assert_allclose(
+        np.asarray(out_m.vertices[0]), np.asarray(out_m.vertices[1]), atol=0
+    )
     # Unbatched 1-D pose vectors must not be mistaken for a batch axis.
     params2 = {
         "betas": jnp.zeros((1, body.num_betas)),

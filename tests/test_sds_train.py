@@ -260,11 +260,18 @@ def test_split_sds_matches_fused(setup):
             rtol=1e-4,
             atol=1e-6,
         )
-        np.testing.assert_allclose(
-            np.asarray(results[mode][0].params.colors),
-            np.asarray(results["fused"][0].params.colors),
-            atol=1e-5,
+        # Same threshold-flip tolerance as test_sds_via_params_matches_fused:
+        # the modes compile as DIFFERENT XLA programs, and a splat exactly on
+        # the alpha keep-threshold can flip in/out by 1 ulp of fusion
+        # reordering, flipping the sign of that surfel's first-step +-lr
+        # update.  >=99.5% exact elementwise equality + tiny mean drift.
+        cm = np.asarray(results[mode][0].params.colors)
+        cf = np.asarray(results["fused"][0].params.colors)
+        match = np.isclose(cm, cf, atol=1e-5)
+        assert match.mean() > 0.995, (
+            f"{mode}: only {match.mean():.4f} elements equal"
         )
+        assert np.abs(cm - cf).mean() < 1e-4
     # The two split variants are the same math modulo program boundaries.
     np.testing.assert_allclose(
         np.asarray(results["split_fused_prelude"][1]["loss_sds"]),
@@ -325,6 +332,49 @@ def test_sds_via_params_matches_fused(setup):
     match = np.isclose(ca, cf, atol=1e-5)
     assert match.mean() > 0.995, f"only {match.mean():.4f} elements equal"
     assert np.abs(ca - cf).mean() < 1e-4
+
+
+def test_for_stage_rebinds_without_reconverting(setup):
+    """guidance.for_stage(stage') must reuse the already-converted,
+    device-committed weights (a --stage both run must not torch.load and
+    convert the multi-GB checkpoint twice) while binding the new stage's
+    scalars."""
+    ds, params, model = setup
+    s0 = StageConfig(
+        training_stage=0, sds_start=0, guidance_scale=5.0,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    s1 = StageConfig(
+        training_stage=1, sds_start=0, guidance_scale=2.5,
+        min_step_percent=0.1, max_step_percent=0.6,
+        loss=LossWeights(normal_F=0.0, normal_B=0.0, normal_mask=0.0),
+    )
+    g0 = build_guidance(
+        "imagedream", s0, key=jax.random.PRNGKey(5), tiny=True,
+        image_size=32, n_view=2,
+    )
+    g1 = g0.for_stage(s1)
+    # Weight arrays are the SAME buffers, not copies/reconversions.
+    l0 = jax.tree_util.tree_leaves(g0.arg_params)
+    l1 = jax.tree_util.tree_leaves(g1.arg_params)
+    assert all(a is b for a, b in zip(l0, l1))
+    # The CLIP holder is shared too: embed once, release once, both notice.
+    ip = g1.embed_ref(jnp.zeros((16, 16, 3)))
+    assert np.isfinite(np.asarray(ip)).all()
+    g1.release_image_encoder()
+    import pytest
+
+    with pytest.raises(RuntimeError, match="released"):
+        g0.embed_ref(jnp.zeros((16, 16, 3)))
+    # And the rebound guidance carries the NEW stage's scalars: identical
+    # latents at the same raw key must produce different targets under the
+    # different CFG scale / timestep window.
+    lat = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 4))
+    c2w = jnp.tile(jnp.eye(4)[None], (2, 1, 1))
+    step = jnp.zeros((), jnp.int32)
+    t0 = g0.compute_target(lat, c2w, jax.random.PRNGKey(7), step)
+    t1 = g1.compute_target(lat, c2w, jax.random.PRNGKey(7), step)
+    assert not np.allclose(np.asarray(t0), np.asarray(t1))
 
 
 def test_make_mvdream_step(setup):

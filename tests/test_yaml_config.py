@@ -57,6 +57,23 @@ def test_cli_accepts_config(tmp_path, monkeypatch):
         main(["--config", "configs/surfel_stage1.yaml"])
 
 
+def test_cli_explicit_stage_both_overrides_config():
+    """--config must not intercept an EXPLICIT --stage both (review finding:
+    "both" doubled as the argparse default, so the YAML's single stage
+    unconditionally replaced it and two-stage runs with a config were
+    impossible)."""
+    from soar_tpu.cli.train import resolve_cli_stage
+
+    yaml_cfg = load_yaml_config("configs/surfel_stage1.yaml")
+    # Explicit stage (any value) always wins over the YAML's.
+    assert resolve_cli_stage("both", yaml_cfg) == "both"
+    assert resolve_cli_stage("0", yaml_cfg) == "0"
+    # No explicit stage: the YAML's single stage.
+    assert resolve_cli_stage(None, yaml_cfg) == "1"
+    # No YAML either: the historical default.
+    assert resolve_cli_stage(None, None) == "both"
+
+
 def test_stage_cfg_yaml_max_steps_honored():
     """The YAML's trainer.max_steps stands unless --steps is explicitly
     passed (review finding: it used to be silently replaced by the CLI
