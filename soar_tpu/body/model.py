@@ -131,21 +131,33 @@ SMPLX_SEGMENTS = (
 )
 
 
+def _pose_segments(params, num_joints: int):
+    """Pick the segment layout for ``assemble_smplx_pose``: the SMPL-X
+    7-segment layout for 55 joints, or the degraded global+rest layout for
+    other joint counts AND for a ``body_pose`` that covers the full (J-1)
+    tail (``canonical_pose_params`` emits ``full[:, 3:]``, i.e. body + jaw +
+    eyes + hands in one vector, matching smplx's ``full_pose`` slicing)."""
+    full_tail = (("global_orient", 1), ("body_pose", num_joints - 1))
+    if num_joints != 55:
+        return full_tail
+    bp = params.get("body_pose")
+    if bp is not None and bp.size % ((num_joints - 1) * 3) == 0:
+        return full_tail
+    return SMPLX_SEGMENTS
+
+
 def assemble_smplx_pose(
     params: Dict[str, jnp.ndarray], batch: int, num_joints: int = 55
 ) -> jnp.ndarray:
     """Concatenate SMPL-X pose segments (axis-angle, flattened) into the full
     [B, J*3] pose vector; missing segments default to zeros.
 
-    For non-SMPL-X joint counts (e.g. the synthetic test body) the layout
-    degrades to global_orient + body_pose covering all J-1 remaining joints.
+    For non-SMPL-X joint counts (e.g. the synthetic test body), and for a
+    ``body_pose`` already covering all J-1 non-root joints, the layout
+    degrades to global_orient + body_pose.
     """
-    if num_joints == 55:
-        segments = SMPLX_SEGMENTS
-    else:
-        segments = (("global_orient", 1), ("body_pose", num_joints - 1))
     parts = []
-    for name, njoints in segments:
+    for name, njoints in _pose_segments(params, num_joints):
         p = params.get(name)
         if p is None:
             p = jnp.zeros((batch, njoints * 3))
@@ -155,9 +167,21 @@ def assemble_smplx_pose(
     return jnp.concatenate(parts, axis=-1)
 
 
+def _seg_rows(p, n: int) -> int:
+    """Batch rows of a segment param whose flat per-item length is ``n``:
+    total size must be a multiple of n, and the leading axis (if any) must
+    agree — so an unbatched per-joint [k, 3] matrix (size == n) reads as ONE
+    item, never as k items."""
+    if p is None or p.size % n:
+        return 1
+    rows = p.size // n
+    return rows if (rows == 1 or (p.ndim >= 2 and p.shape[0] == rows)) else 1
+
+
 def _to_batch(p: jnp.ndarray, batch: int, n: int) -> jnp.ndarray:
-    """[n] / [1, n] / [batch, n] -> [batch, n] (unbatched params broadcast;
-    a genuine row mismatch still errors in broadcast_to)."""
+    """[n] / [k,3] / [1, n] / [batch, n] / [batch, k, 3] -> [batch, n]
+    (unbatched params broadcast; a genuine row mismatch still errors in
+    broadcast_to)."""
     p = jnp.reshape(p, (-1, n))
     if p.shape[0] != batch:
         p = jnp.broadcast_to(p, (batch, n))
@@ -173,20 +197,23 @@ def smplx_forward(
     expression), cf. ``utils/smpl.py:601-607``."""
     betas = jnp.atleast_2d(params["betas"])
 
-    def _rows(name):
-        p = params.get(name)
-        return p.shape[0] if p is not None and p.ndim >= 2 else 1
-
-    B = max(
-        betas.shape[0],
-        *(
-            _rows(n)
-            for n in ("body_pose", "global_orient", "transl")
-        ),
-    )
+    # Batch size = max rows over EVERY provided segment (each judged
+    # against its own flat length, so unbatched [k, 3] per-joint matrices
+    # are one item, not k).
+    J = model.num_joints
+    n_expr_total = model.shapedirs.shape[-1] - model.num_betas
+    seg_lens = {name: nj * 3 for name, nj in _pose_segments(params, J)}
+    seg_lens["transl"] = 3
+    rows = [betas.shape[0]]
+    rows += [_seg_rows(params.get(k), n) for k, n in seg_lens.items()]
+    if params.get("expression") is not None:
+        # Expression is conventionally 2-D [B, n] (and may carry extra
+        # trailing coeffs that get sliced below) — rows come from its shape.
+        rows.append(jnp.atleast_2d(params["expression"]).shape[0])
+    B = max(rows)
     if betas.shape[0] != B:
         betas = jnp.broadcast_to(betas, (B, betas.shape[-1]))
-    n_expr = model.shapedirs.shape[-1] - model.num_betas
+    n_expr = n_expr_total
     expr = params.get("expression")
     if n_expr > 0:
         if expr is None:
@@ -254,8 +281,9 @@ def load_smplx_npz(
         # hands (global 1 + body 21 + jaw/leye/reye 3 = 25 joints) are
         # zero-mean.
         J = len(parents)
-        pose_mean = np.zeros((J * 3,), np.float32)
+        pose_mean = None  # stays None (= no add in forward) without hands
         if "hands_meanl" in data and J == 55:
+            pose_mean = np.zeros((J * 3,), np.float32)
             pose_mean[25 * 3 : 40 * 3] = np.asarray(
                 data["hands_meanl"], np.float32
             ).reshape(-1)
@@ -271,7 +299,7 @@ def load_smplx_npz(
         parents=tuple(int(p) for p in parents),
         faces=jnp.asarray(faces),
         num_betas=num_betas,
-        pose_mean=jnp.asarray(pose_mean),
+        pose_mean=None if pose_mean is None else jnp.asarray(pose_mean),
     )
 
 

@@ -150,6 +150,67 @@ def test_smplx_forward_batch_from_orient_only():
     }
     out2 = smplx_forward(body, params2)
     assert out2.vertices.shape[0] == 1
+    # ... nor unbatched PER-JOINT [k, 3] matrices (the standard smplx
+    # layout): one body, not k bodies (review repro).
+    params3 = {
+        "betas": jnp.zeros((1, body.num_betas)),
+        "body_pose": jnp.zeros((body.num_joints - 1, 3)),
+        "global_orient": jnp.zeros((1, 3)),
+    }
+    out3 = smplx_forward(body, params3)
+    assert out3.vertices.shape[0] == 1
+
+
+def _smplx55_body():
+    """A shape-realistic 55-joint SMPL-X-layout body (tiny vert count)."""
+    from soar_tpu.body.model import BodyModel
+
+    rng = np.random.RandomState(3)
+    J, V = 55, 60
+    parents = [-1] + [rng.randint(0, j) for j in range(1, J)]
+    return BodyModel(
+        v_template=jnp.asarray(rng.randn(V, 3).astype(np.float32)),
+        shapedirs=jnp.asarray(rng.randn(V, 3, 10).astype(np.float32) * 0.01),
+        posedirs=jnp.zeros(((J - 1) * 9, V * 3)),
+        J_regressor=jnp.asarray(
+            (np.eye(J, V) / 1.0).astype(np.float32)
+        ),
+        lbs_weights=jax.nn.softmax(
+            jnp.asarray(rng.randn(V, J).astype(np.float32)), -1
+        ),
+        parents=tuple(parents),
+        faces=jnp.zeros((1, 3), jnp.int32),
+        num_betas=10,
+    )
+
+
+def test_smplx_full_tail_body_pose():
+    """canonical_pose_params emits body_pose = full[:, 3:] covering ALL
+    J-1 non-root joints (162 values for J=55); assemble must accept it —
+    the real-SMPL-X avatar-init path crashed on this (review repro)."""
+    from soar_tpu.body.model import assemble_smplx_pose, smplx_forward
+
+    body = _smplx55_body()
+    full_tail = jnp.arange((55 - 1) * 3, dtype=jnp.float32)[None] * 0.001
+    params = {
+        "betas": jnp.zeros((1, 10)),
+        "global_orient": jnp.zeros((1, 3)),
+        "body_pose": full_tail,
+        "transl": jnp.zeros((1, 3)),
+    }
+    fp = assemble_smplx_pose(params, 1, 55)
+    assert fp.shape == (1, 165)
+    np.testing.assert_allclose(np.asarray(fp[0, 3:]), np.asarray(full_tail[0]))
+    out = smplx_forward(body, params)
+    assert out.vertices.shape[0] == 1
+    # Segmented layout still works and batches from a hand pose alone.
+    seg = {
+        "betas": jnp.zeros((1, 10)),
+        "body_pose": jnp.zeros((1, 63)),
+        "left_hand_pose": jnp.zeros((4, 45)),
+    }
+    out_seg = smplx_forward(body, seg)
+    assert out_seg.vertices.shape[0] == 4
 
 
 def test_knn_idw_weights_matches_bruteforce():
