@@ -150,9 +150,11 @@ def preprocess(
 
     # Frustum test with 20% border expansion over the full image
     # (``auxiliary.h:146-171``; patch bbox defaults to the whole frame).
+    # z >= cfg.near rather than the reference's z >= 0: see the
+    # RasterConfig.near docstring (EWA explodes on the 0..znear band).
     ex, ey = 0.2 * W, 0.2 * H
     valid = (
-        (p_view[:, 2] >= 0)
+        (p_view[:, 2] >= cfg.near)
         & (x_pix >= -ex)
         & (x_pix < W + ex)
         & (y_pix >= -ey)

@@ -46,8 +46,9 @@ def bin_and_sort(
 ):
     """Duplicate surfels into per-tile slots and depth-sort within tiles.
 
-    Returns (sorted surfel indices [M], their tile ids [M], per-tile start
-    offsets [NT], per-tile counts [NT]).
+    Returns ``(sorted surfel indices [M], per-tile start offsets [NT],
+    per-tile counts [NT], (ntx, nty), overflow [2])`` — overflow counts
+    (dropped-past-K, footprint-capped) for the truncation canaries.
     """
     H, W = image_size
     tile = cfg.tile

@@ -43,6 +43,15 @@ class RasterConfig:
     perpix_depth: bool = True
     render_front: bool = False
     sort_descending: bool = False
+    # Near-plane cull (view-space z).  DEVIATION: the reference's modified
+    # ``in_frustum`` keeps 0 <= z < znear (``auxiliary.h:146-162`` culls only
+    # z < 0 + the expanded patch bbox), but EWA splat size scales as
+    # (fx/z)^2, so a surfel in that band composites as a giant
+    # nearest-depth opaque blob.  The reference never renders a camera
+    # close enough to hit it; our head close-up gen cameras (~0.7 distance)
+    # can, so surfels in front of the standard znear (0.1 everywhere in
+    # this repo) are culled like any other out-of-frustum point.
+    near: float = 0.1
     # Composite each tile's depth-ascending run farthest-first WITHOUT
     # re-sorting — equivalent to ``sort_descending`` (incl. keeping the
     # farthest K under truncation; only quantization-tied depths can

@@ -80,7 +80,9 @@ def numpy_reference_render(g, cam, H, W, bg, cfg: RasterConfig):
         pv = (w2c @ np.append(means[i], 1.0))[:3]
         x = ((ndc[0] + 1) * W - 1) * 0.5
         y = ((ndc[1] + 1) * H - 1) * 0.5
-        if pv[2] < 0 or x < -0.2 * W or x >= 1.2 * W or y < -0.2 * H or y >= 1.2 * H:
+        # near-plane cull at cfg.near (see RasterConfig.near: deviation from
+        # the reference's z >= 0, which explodes EWA on the 0..znear band)
+        if pv[2] < cfg.near or x < -0.2 * W or x >= 1.2 * W or y < -0.2 * H or y >= 1.2 * H:
             continue
         n_view = w2c[:3, :3] @ R[i][:, 2]
         ax0 = w2c[:3, :3] @ R[i][:, 0]
@@ -484,6 +486,8 @@ def test_degenerate_camera_plane_surfel_stays_finite():
     cam_pos = np.asarray(
         jnp.linalg.inv(cam.w2c) @ jnp.array([0.0, 0.0, 0.0, 1.0])
     )[:3]
+    # Camera forward direction in world space (view +z):
+    fwd = np.asarray(jnp.linalg.inv(cam.w2c))[:3, 2]
     means = np.array(g.means3d)
     means[0] = cam_pos  # z exactly 0
     means[1] = cam_pos * 1.001  # slightly behind
@@ -494,6 +498,26 @@ def test_degenerate_camera_plane_surfel_stays_finite():
     out = rasterize(g, cam, (64, 64), jnp.zeros(3), cfg)
     assert np.isfinite(np.asarray(out.color)).all()
     assert np.isfinite(np.asarray(out.depth)).all()
+
+    # A surfel in the 0..near band (z ~ 0.05): EWA scales as (fx/z)^2, so
+    # without the near cull it composites as a giant nearest-depth opaque
+    # blob over the whole frame.  It must contribute NOTHING — the image
+    # must equal one with that surfel behind the camera (also culled).
+    means_band = np.array(means)
+    means_band[3] = cam_pos + 0.05 * fwd
+    means_gone = np.array(means)
+    means_gone[3] = cam_pos - 1.0 * fwd
+    out_band = rasterize(
+        g._replace(means3d=jnp.asarray(means_band)), cam, (64, 64),
+        jnp.zeros(3), cfg,
+    )
+    out_gone = rasterize(
+        g._replace(means3d=jnp.asarray(means_gone)), cam, (64, 64),
+        jnp.zeros(3), cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_band.color), np.asarray(out_gone.color), atol=1e-6
+    )
 
     def loss(means3d):
         o = rasterize(
