@@ -103,11 +103,14 @@ def _cpu_device():
 
 
 def init_mock_networks(
-    key: jax.Array, shapes: NetworkShapes, n_view: int = 4
+    key: jax.Array, shapes: NetworkShapes, n_view: int = 4,
+    with_ip: bool = False,
 ) -> Dict:
-    """Random-init UNet + VAE variables at the given shapes.  Runs on the
-    host CPU backend: initializing the full 320-ch UNet on the TPU costs a
-    ~6-minute remote compile of the init program and doubles peak HBM."""
+    """Random-init UNet + VAE variables at the given shapes.  ``with_ip``
+    initializes the ipmv variant (decoupled to_k_ip/to_v_ip projections on
+    every cross-attention) — required for ImageDream.  Runs on the host CPU
+    backend: initializing the full 320-ch UNet on the TPU costs a ~6-minute
+    remote compile of the init program and doubles peak HBM."""
     import contextlib
 
     cpu = _cpu_device()
@@ -122,6 +125,11 @@ def init_mock_networks(
             "camera": jnp.zeros((2 * n_view, 16)),
             "num_frames": n_view,
         }
+        if with_ip:
+            dummy_ctx["ip"] = jnp.zeros(
+                (2 * n_view, shapes.resampler_cfg.num_queries,
+                 shapes.resampler_cfg.output_dim)
+            )
         unet_vars = shapes.unet.init(ku, dummy_lat, dummy_t, dummy_ctx)
         dummy_img = jnp.zeros((n_view, 8 * hw, 8 * hw, 3))
         vae_vars = shapes.vae.init(kv, dummy_img)
@@ -200,7 +208,9 @@ def build_guidance(
     if ckpt_path is not None:
         variables = load_guidance_checkpoint(ckpt_path, shapes)
     elif mock or tiny:
-        variables = init_mock_networks(k_net, shapes, n_view=n_view)
+        variables = init_mock_networks(
+            k_net, shapes, n_view=n_view, with_ip=(kind == "imagedream")
+        )
     else:
         raise ValueError(
             "build_guidance needs ckpt_path, mock=True, or tiny=True"

@@ -142,7 +142,7 @@ class ResamplerConfig:
     dim: int = 1024
     depth: int = 4
     dim_head: int = 64
-    heads: int = 16
+    heads: int = 12  # IP-Adapter-plus / ImageDream resampler: inner dim 768
     num_queries: int = 16
     embedding_dim: int = 1280  # CLIP ViT-H token width
     output_dim: int = 1024  # UNet context_dim
@@ -300,8 +300,9 @@ def make_image_embed_fn(
 ):
     """Returns the jittable ``image_embed_fn`` the guidance injects:
     [H, W, 3] float in [0, 1] -> [num_queries, output_dim] ip tokens.
-    Resizes to the CLIP input size and applies the CLIP normalization
-    (the reference pipes a PIL image through open_clip's preprocess)."""
+    Mirrors open_clip's preprocess (the reference pipes a PIL image through
+    it): BICUBIC resize of the SHORTER side to the CLIP input size, center
+    crop, then the CLIP channel normalization."""
     clip = CLIPViT(clip_cfg)
     resampler = Resampler(resampler_cfg)
     mean = jnp.asarray(CLIP_MEAN)
@@ -309,7 +310,14 @@ def make_image_embed_fn(
     s = clip_cfg.image_size
 
     def fn(ref_rgb: jnp.ndarray) -> jnp.ndarray:
-        x = jax.image.resize(ref_rgb, (s, s, 3), method="bilinear")
+        H, W = ref_rgb.shape[0], ref_rgb.shape[1]
+        # shorter side -> s, preserving aspect ratio (static shapes: H/W are
+        # trace-time constants), then center crop to s x s.
+        scale = s / min(H, W)
+        nh, nw = round(H * scale), round(W * scale)
+        x = jax.image.resize(ref_rgb, (nh, nw, 3), method="cubic")
+        y0, x0 = (nh - s) // 2, (nw - s) // 2
+        x = jax.lax.dynamic_slice(x, (y0, x0, 0), (s, s, 3))
         x = (x - mean) / std
         tokens = clip.apply(clip_variables, x[None])
         return resampler.apply(resampler_variables, tokens)[0]

@@ -38,10 +38,12 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000):
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-def _gn(ch: int) -> "nn.GroupNorm":
+def _gn(ch: int, eps: float = 1e-5) -> "nn.GroupNorm":
     """GroupNorm(32) as in LDM; group count shrinks for tiny test configs
-    (real configs always use multiples of 32)."""
-    return nn.GroupNorm(num_groups=math.gcd(32, ch), epsilon=1e-5)
+    (real configs always use multiples of 32).  eps: the UNet ResBlock's
+    GroupNorm32 keeps the torch default 1e-5; LDM's ``Normalize`` (all VAE
+    norms + the SpatialTransformer input norm) sets 1e-6 explicitly."""
+    return nn.GroupNorm(num_groups=math.gcd(32, ch), epsilon=eps)
 
 
 class ResBlock(nn.Module):
@@ -65,26 +67,45 @@ class ResBlock(nn.Module):
 
 
 class Attention(nn.Module):
+    """Cross/self attention with ImageDream's optional DECOUPLED image-prompt
+    branch (IP-Adapter style): ip tokens get their own to_k_ip/to_v_ip
+    projections and a SECOND softmax whose output is added with ip_weight —
+    NOT a joint softmax over [text + ip] tokens
+    (``imagedream/ldm/modules/attention.py`` MemoryEfficientCrossAttention
+    with ip_dim > 0, reached via the ``sd-v2.1-base-4view-ipmv`` UNet)."""
+
     heads: int
     dim_head: int
+    ip_weight: float = 1.0
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, ip=None):
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False)(x)
-        k = nn.Dense(inner, use_bias=False)(context)
-        v = nn.Dense(inner, use_bias=False)(context)
 
-        def split(t):
-            return t.reshape(t.shape[:-1] + (self.heads, self.dim_head))
+        def attend(q, k, v):
+            def split(t):
+                return t.reshape(t.shape[:-1] + (self.heads, self.dim_head))
 
-        q, k, v = split(q), split(k), split(v)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.dim_head)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        out = out.reshape(out.shape[:2] + (inner,))
-        return nn.Dense(x.shape[-1])(out)
+            q, k, v = split(q), split(k), split(v)
+            a = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.dim_head)
+            a = jax.nn.softmax(a, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", a, v)
+            return out.reshape(out.shape[:2] + (inner,))
+
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        out = attend(
+            q,
+            nn.Dense(inner, use_bias=False, name="to_k")(context),
+            nn.Dense(inner, use_bias=False, name="to_v")(context),
+        )
+        if ip is not None:
+            out = out + self.ip_weight * attend(
+                q,
+                nn.Dense(inner, use_bias=False, name="to_k_ip")(ip),
+                nn.Dense(inner, use_bias=False, name="to_v_ip")(ip),
+            )
+        return nn.Dense(x.shape[-1], name="to_out")(out)
 
 
 class GEGLU(nn.Module):
@@ -94,7 +115,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.dim_out * 2)(x)
         a, b = jnp.split(x, 2, axis=-1)
-        return a * nn.gelu(b)
+        # torch F.gelu default = exact erf (LDM GEGLU), not tanh approx.
+        return a * nn.gelu(b, approximate=False)
 
 
 class TransformerBlock(nn.Module):
@@ -103,7 +125,7 @@ class TransformerBlock(nn.Module):
     context_dim: int
 
     @nn.compact
-    def __call__(self, x, context, num_frames: int):
+    def __call__(self, x, context, num_frames: int, ip=None):
         # Multi-view joint self-attention (MVDream "3D attention"): fold the
         # view axis into the token axis so views attend to each other.
         B, T, C = x.shape
@@ -118,7 +140,7 @@ class TransformerBlock(nn.Module):
             attn_out = attn_out.reshape(B, T, C)
         x = x + attn_out
         x = x + Attention(self.heads, self.dim_head, name="attn2")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context, ip=ip
         )
         x = x + nn.Sequential([GEGLU(C * 4), nn.Dense(C)], name="ff")(
             nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
@@ -132,14 +154,16 @@ class SpatialTransformer(nn.Module):
     context_dim: int
 
     @nn.compact
-    def __call__(self, x, context, num_frames: int):
+    def __call__(self, x, context, num_frames: int, ip=None):
         B, H, W, C = x.shape
-        h = _gn(x.shape[-1])(x)
+        # LDM attention.py Normalize: GroupNorm(32, eps=1e-6) — unlike the
+        # UNet ResBlock's GroupNorm32 (torch default 1e-5).
+        h = _gn(x.shape[-1], eps=1e-6)(x)
         h = h.reshape(B, H * W, C)
         h = nn.Dense(C, name="proj_in")(h)  # use_linear_in_transformer
         h = TransformerBlock(
             self.heads, self.dim_head, self.context_dim, name="block0"
-        )(h, context, num_frames)
+        )(h, context, num_frames, ip=ip)
         h = nn.Dense(C, name="proj_out", kernel_init=nn.initializers.zeros)(h)
         return x + h.reshape(B, H, W, C)
 
@@ -180,11 +204,14 @@ class MultiViewUNet(nn.Module):
             emb = emb + cam_emb
 
         ctx = context["context"]
-        if "ip" in context:
-            ip = context["ip"]
-            if ip.shape[-1] != ctx.shape[-1]:
-                ip = nn.Dense(ctx.shape[-1], name="ip_proj")(ip)
-            ctx = jnp.concatenate([ctx, ip], axis=1)
+        # Image-prompt (ip) tokens ride to every cross-attention layer's
+        # DECOUPLED to_k_ip/to_v_ip branch (see Attention) — ImageDream
+        # concatenates them into the context tensor at the forward boundary
+        # and re-splits inside each attention; passing them separately is
+        # the same computation.
+        ip = context.get("ip")
+        if ip is not None and ip.shape[-1] != ctx.shape[-1]:
+            ip = nn.Dense(ctx.shape[-1], name="ip_proj")(ip)
 
         def heads_for(ch):
             return max(ch // self.num_head_channels, 1)
@@ -203,7 +230,7 @@ class MultiViewUNet(nn.Module):
                         self.num_head_channels,
                         self.context_dim,
                         name=f"down_{level}_{i}_attn",
-                    )(h, ctx, num_frames)
+                    )(h, ctx, num_frames, ip=ip)
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
                 h = nn.Conv(
@@ -215,7 +242,7 @@ class MultiViewUNet(nn.Module):
         h = ResBlock(ch, name="mid_res0")(h, emb)
         h = SpatialTransformer(
             heads_for(ch), self.num_head_channels, self.context_dim, name="mid_attn"
-        )(h, ctx, num_frames)
+        )(h, ctx, num_frames, ip=ip)
         h = ResBlock(ch, name="mid_res1")(h, emb)
 
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -229,13 +256,13 @@ class MultiViewUNet(nn.Module):
                         self.num_head_channels,
                         self.context_dim,
                         name=f"up_{level}_{i}_attn",
-                    )(h, ctx, num_frames)
+                    )(h, ctx, num_frames, ip=ip)
             if level != 0:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, name=f"up_{level}_us")(h)
 
-        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-5, name="out_norm")(h)
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-6, name="out_norm")(h)
         h = nn.silu(h)
         return nn.Conv(
             self.out_channels,
@@ -276,7 +303,7 @@ class VAEEncoder(nn.Module):
         h = _VAEResBlock(ch, name="mid_res0")(h)
         h = _VAEAttn(name="mid_attn")(h)
         h = _VAEResBlock(ch, name="mid_res1")(h)
-        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-5, name="out_norm")(h)
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-6, name="out_norm")(h)
         h = nn.silu(h)
         moments = nn.Conv(
             2 * self.latent_channels, (3, 3), padding=1, name="conv_out"
@@ -298,10 +325,11 @@ class _VAEResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = _gn(x.shape[-1])(x)
+        # LDM model.py Normalize: eps=1e-6 for every VAE norm.
+        h = _gn(x.shape[-1], eps=1e-6)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1)(h)
-        h = _gn(h.shape[-1])(h)
+        h = _gn(h.shape[-1], eps=1e-6)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1)(h)
         if x.shape[-1] != self.out_channels:
@@ -313,7 +341,7 @@ class _VAEAttn(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = _gn(x.shape[-1])(x)
+        h = _gn(x.shape[-1], eps=1e-6)(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C)(h)
         k = nn.Dense(C)(h)
@@ -441,13 +469,19 @@ def convert_unet_torch_params(
             out["Conv_2"] = conv(tp + ".skip_connection")
         return out
 
-    def attention(tp, names=("Dense_0", "Dense_1", "Dense_2", "Dense_3")):
-        return {
-            names[0]: lin(tp + ".to_q"),
-            names[1]: lin(tp + ".to_k"),
-            names[2]: lin(tp + ".to_v"),
-            names[3]: lin(tp + ".to_out.0"),
+    def attention(tp):
+        out = {
+            "to_q": lin(tp + ".to_q"),
+            "to_k": lin(tp + ".to_k"),
+            "to_v": lin(tp + ".to_v"),
+            "to_out": lin(tp + ".to_out.0"),
         }
+        # ipmv checkpoints carry DECOUPLED image-prompt projections on every
+        # cross-attention (IP-Adapter style; see Attention docstring).
+        if tp + ".to_k_ip.weight" in sd:
+            out["to_k_ip"] = lin(tp + ".to_k_ip")
+            out["to_v_ip"] = lin(tp + ".to_v_ip")
+        return out
 
     def proj_inout(prefix):
         w = np.asarray(sd[prefix + ".weight"])

@@ -40,16 +40,15 @@ def _sh_encoding_deg3(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_background(key: jax.Array, hidden: int = 16) -> Dict:
+    """threestudio's VanillaMLP builds every layer bias-FREE
+    (``nn.Linear(..., bias=False)``) — matched here: weights only."""
     k1, k2, k3 = jax.random.split(key, 3)
     dims = [(9, hidden), (hidden, hidden), (hidden, 3)]
     params = []
     for k, (a, b) in zip((k1, k2, k3), dims):
         bound = 1.0 / jnp.sqrt(a)
         params.append(
-            {
-                "w": jax.random.uniform(k, (a, b), minval=-bound, maxval=bound),
-                "b": jnp.zeros((b,)),
-            }
+            {"w": jax.random.uniform(k, (a, b), minval=-bound, maxval=bound)}
         )
     return {"layers": params}
 
@@ -59,7 +58,9 @@ def background_color(params: Dict, dirs: jnp.ndarray) -> jnp.ndarray:
     x = _sh_encoding_deg3((dirs + 1.0) / 2.0)
     layers = params["layers"]
     for i, layer in enumerate(layers):
-        x = x @ layer["w"] + layer["b"]
+        x = x @ layer["w"]
+        if "b" in layer:  # older checkpoints carried (zero) biases
+            x = x + layer["b"]
         if i < len(layers) - 1:
             x = jax.nn.relu(x)
     return jax.nn.sigmoid(x)

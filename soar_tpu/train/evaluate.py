@@ -26,6 +26,40 @@ def _to_u8(img: np.ndarray) -> np.ndarray:
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def skimage_ssim(pred: np.ndarray, gt: np.ndarray, win: int = 7) -> float:
+    """skimage.metrics.structural_similarity with its DEFAULTS — what the
+    reference eval actually calls (``gaussian_surfel_mvdream.py:559``
+    ``ski_ssim(pred, gt, multichannel=True, channel_axis=-1,
+    data_range=1)``): 7x7 UNIFORM window (not the loss path's 11x11
+    Gaussian), unbiased sample covariance (N/(N-1)), per-channel SSIM maps
+    cropped by the filter radius and averaged."""
+    from scipy.ndimage import uniform_filter
+
+    K1, K2, L = 0.01, 0.03, 1.0
+    C1, C2 = (K1 * L) ** 2, (K2 * L) ** 2
+    NP = win * win
+    cov_norm = NP / (NP - 1.0)
+    pad = (win - 1) // 2
+
+    vals = []
+    for c in range(pred.shape[-1]):
+        x = pred[..., c].astype(np.float64)
+        y = gt[..., c].astype(np.float64)
+        ux = uniform_filter(x, size=win)
+        uy = uniform_filter(y, size=win)
+        uxx = uniform_filter(x * x, size=win)
+        uyy = uniform_filter(y * y, size=win)
+        uxy = uniform_filter(x * y, size=win)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+            (ux * ux + uy * uy + C1) * (vx + vy + C2)
+        )
+        vals.append(S[pad:-pad, pad:-pad].mean())
+    return float(np.mean(vals))
+
+
 def save_png(path: str, img: np.ndarray) -> None:
     import imageio.v2 as imageio
 
@@ -82,14 +116,13 @@ def evaluate(
         mask = np.asarray(ds.masks[i]) > 0.5
         gt[~mask] = 1.0  # whiten outside mask (``:533-534``)
         psnrs.append(float(L.psnr(jnp.asarray(pred), jnp.asarray(gt))))
-        ssims.append(
-            float(L.ssim(jnp.asarray(pred)[None], jnp.asarray(gt)[None]))
-        )
+        # Eval protocol SSIM = skimage defaults (reference :559), NOT the
+        # training-loss Gaussian SSIM.
+        ssims.append(skimage_ssim(pred, gt))
         if lpips_fn is not None:
             lpipss.append(float(lpips_fn(pred, gt)))
         frames.append(pred)
         if save_dir:
-            os.makedirs(save_dir, exist_ok=True)
             save_png(os.path.join(save_dir, f"{i}.png"), pred)
 
     out = {

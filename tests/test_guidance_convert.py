@@ -66,10 +66,13 @@ def unet_flax_to_torch_sd(params, u: MultiViewUNet):
             _inv_conv(sd, tp + ".skip_connection", d["Conv_2"])
 
     def attention(tp, d):
-        _inv_lin(sd, tp + ".to_q", d["Dense_0"])
-        _inv_lin(sd, tp + ".to_k", d["Dense_1"])
-        _inv_lin(sd, tp + ".to_v", d["Dense_2"])
-        _inv_lin(sd, tp + ".to_out.0", d["Dense_3"])
+        _inv_lin(sd, tp + ".to_q", d["to_q"])
+        _inv_lin(sd, tp + ".to_k", d["to_k"])
+        _inv_lin(sd, tp + ".to_v", d["to_v"])
+        _inv_lin(sd, tp + ".to_out.0", d["to_out"])
+        if "to_k_ip" in d:  # decoupled image-prompt projections (ipmv)
+            _inv_lin(sd, tp + ".to_k_ip", d["to_k_ip"])
+            _inv_lin(sd, tp + ".to_v_ip", d["to_v_ip"])
 
     def transformer(tp, d):
         _inv_norm(sd, tp + ".norm", d["GroupNorm_0"])
@@ -244,6 +247,8 @@ def test_unet_converter_roundtrip():
         "context": jax.random.normal(jax.random.PRNGKey(2), (B, 7, 64)),
         "camera": jax.random.normal(jax.random.PRNGKey(3), (B, 16)),
         "num_frames": 2,
+        # ip tokens: the ipmv variant's decoupled image-prompt branch.
+        "ip": jax.random.normal(jax.random.PRNGKey(4), (B, 4, 64)),
     }
     params = TINY_UNET.init(jax.random.PRNGKey(0), x, t, ctx)
     sd = unet_flax_to_torch_sd(params, TINY_UNET)
@@ -256,6 +261,8 @@ def test_unet_converter_roundtrip():
         "input_blocks.0.0.weight",
         "input_blocks.1.0.in_layers.2.weight",
         "input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight",
+        "input_blocks.1.1.transformer_blocks.0.attn2.to_k_ip.weight",
+        "input_blocks.1.1.transformer_blocks.0.attn2.to_v_ip.weight",
         "input_blocks.2.0.op.weight",
         "input_blocks.3.0.skip_connection.weight",
         "middle_block.1.proj_out.weight",
@@ -267,6 +274,8 @@ def test_unet_converter_roundtrip():
         assert key in sd, key
     # to_q carries no bias (LDM CrossAttention bias=False)
     assert "middle_block.1.transformer_blocks.0.attn1.to_q.bias" not in sd
+    # SELF-attention (attn1) never carries the decoupled ip projections.
+    assert "middle_block.1.transformer_blocks.0.attn1.to_k_ip.weight" not in sd
 
     restored = convert_unet_torch_params(sd, TINY_UNET)
     _assert_tree_equal(params, restored)
