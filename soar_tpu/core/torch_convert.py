@@ -44,10 +44,17 @@ def conv(sd: Dict, prefix: str) -> Dict:
 
 def conv_transpose(sd: Dict, prefix: str) -> Dict:
     """``nn.ConvTranspose2d`` under ``prefix`` -> flax ConvTranspose leaf.
-    torch stores [in, out, kH, kW]; flax wants HWIO."""
-    out = {
-        "kernel": np.transpose(np.asarray(sd[prefix + ".weight"]), (2, 3, 0, 1))
-    }
+
+    torch stores [in, out, kH, kW] and computes the *gradient of conv*
+    (a true transposed convolution); flax ``nn.ConvTranspose`` with the
+    default ``transpose_kernel=False`` lowers to a fractionally-strided
+    *correlation* over an HWIO kernel. Matching torch therefore needs the
+    HWIO transpose AND a spatial kernel flip (verified numerically against
+    ``torch.nn.ConvTranspose2d``: without the flip a k=2/s=2 layer is off
+    by O(1) on unit-scale data, with it the outputs agree exactly).
+    """
+    k = np.transpose(np.asarray(sd[prefix + ".weight"]), (2, 3, 0, 1))
+    out = {"kernel": np.ascontiguousarray(k[::-1, ::-1])}
     if prefix + ".bias" in sd:
         out["bias"] = np.asarray(sd[prefix + ".bias"])
     return out

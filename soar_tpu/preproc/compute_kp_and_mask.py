@@ -83,13 +83,15 @@ def main(argv=None):
         print("Keypoints already computed.")
     elif args.openpose_dir:
         os.makedirs(kp_dir, exist_ok=True)
-        cmd = (
-            f"./build/examples/openpose/openpose.bin --image_dir {img_dir} "
-            f"--write_json {kp_dir} --write_images {kp_dir} --display 0 "
-            f"--hand --face"
-        )
-        print("Running command:", cmd)
-        subprocess.call(cmd, cwd=args.openpose_dir, shell=True)
+        cmd = [
+            "./build/examples/openpose/openpose.bin",
+            "--image_dir", osp.abspath(img_dir),
+            "--write_json", osp.abspath(kp_dir),
+            "--write_images", osp.abspath(kp_dir),
+            "--display", "0", "--hand", "--face",
+        ]
+        print("Running command:", subprocess.list2cmdline(cmd))
+        subprocess.run(cmd, cwd=args.openpose_dir, check=True)
     else:
         raise SystemExit(
             "no keypoints found and --openpose-dir not given: OpenPose is an "

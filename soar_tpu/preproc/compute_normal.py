@@ -24,16 +24,42 @@ import numpy as np
 
 def transform_K_by_bbox(K: np.ndarray, bbox, crop_wh) -> np.ndarray:
     """Intrinsics for a square crop resampled to crop_wh
-    (``preproc/utils.py`` helper usage at ``compute_normal.py:155``)."""
+    (``preproc/utils.py`` helper usage at ``compute_normal.py:155``).
+
+    Half-pixel (align_corners=False) convention, the exact inverse of
+    :func:`crop_grid`: crop pixel centre ``u`` samples the source at
+    ``x0 + (u + 0.5)/sx - 0.5``, so a 3-D point projecting to source
+    coordinate ``u_src`` lands on crop coordinate
+    ``(u_src - x0 + 0.5) * sx - 0.5``. Keeping the two consistent is what
+    aligns the cropped image with the template normals rendered under the
+    returned K (a ``linspace(x0, x1, 512)`` grid drifts ~1 px by the
+    right/bottom edge)."""
     x0, y0, x1, y1 = [float(v) for v in bbox]
     sx = crop_wh[0] / (x1 - x0)
     sy = crop_wh[1] / (y1 - y0)
     out = K.copy()
     out[0, 0] *= sx
     out[1, 1] *= sy
-    out[0, 2] = (K[0, 2] - x0) * sx
-    out[1, 2] = (K[1, 2] - y0) * sy
+    out[0, 2] = (K[0, 2] - x0 + 0.5) * sx - 0.5
+    out[1, 2] = (K[1, 2] - y0 + 0.5) * sy - 0.5
     return out
+
+
+def crop_grid(bbox, crop_wh):
+    """Source-coordinate sampling grids for the crop, consistent with
+    :func:`transform_K_by_bbox` (half-pixel convention)."""
+    x0, y0, x1, y1 = [float(v) for v in bbox]
+    gx = (
+        x0
+        + (np.arange(crop_wh[0], dtype=np.float32) + 0.5) * (x1 - x0) / crop_wh[0]
+        - 0.5
+    )
+    gy = (
+        y0
+        + (np.arange(crop_wh[1], dtype=np.float32) + 0.5) * (y1 - y0) / crop_wh[1]
+        - 0.5
+    )
+    return np.meshgrid(gx, gy)
 
 
 def mask_bbox(mask: np.ndarray, margin: float = 1.1):
@@ -94,7 +120,10 @@ def main(argv=None):
     if args.econ_ckpt:
         from .normal_net import NormalNet, convert_normalnet_params
 
-        sd = torch.load(args.econ_ckpt, map_location="cpu")
+        # Lightning-style ECON checkpoints carry non-tensor objects
+        # (hyper_parameters/CfgNode); torch>=2.6 defaults weights_only=True
+        # and refuses them.
+        sd = torch.load(args.econ_ckpt, map_location="cpu", weights_only=False)
         if "state_dict" in sd:
             sd = sd["state_dict"]
         variables = convert_normalnet_params(sd)
@@ -121,9 +150,7 @@ def main(argv=None):
         normal_Ks.append(K_c)
 
         # Crop image+mask to 512² (bilinear remap like F.grid_sample).
-        gx = np.linspace(bbox[0], bbox[2], crop_wh[0], dtype=np.float32)
-        gy = np.linspace(bbox[1], bbox[3], crop_wh[1], dtype=np.float32)
-        mx, my = np.meshgrid(gx, gy)
+        mx, my = crop_grid(bbox, crop_wh)
         crop_img = cv2.remap(rgb, mx, my, cv2.INTER_LINEAR)
         crop_mask = cv2.remap(
             mask.astype(np.float32), mx, my, cv2.INTER_LINEAR

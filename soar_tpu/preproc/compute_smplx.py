@@ -59,16 +59,20 @@ def main(argv=None):
     img_paths = sorted(glob(osp.join(img_dir, "*.png")))
     N = len(img_paths)
 
-    if osp.exists(smplerx_result_dir) and N == len(os.listdir(smplerx_result_dir)):
+    n_results = len(glob(osp.join(smplerx_result_dir, "*_0.npz")))
+    if osp.exists(smplerx_result_dir) and N == n_results:
         print("SMPLER-X already computed.")
     elif args.smplerx_dir:
-        cmd = (
-            "python inference.py --num_gpus 1 --pretrained_model smpler_x_h32 "
-            f"--agora_benchmark agora_model --img_path {img_dir} "
-            f"--output_folder {smplx_dir} --show_verts --show_bbox"
-        )
-        print("Running command:", cmd)
-        subprocess.call(cmd, cwd=osp.join(args.smplerx_dir, "main"), shell=True)
+        cmd = [
+            "python", "inference.py", "--num_gpus", "1",
+            "--pretrained_model", "smpler_x_h32",
+            "--agora_benchmark", "agora_model",
+            "--img_path", osp.abspath(img_dir),
+            "--output_folder", osp.abspath(smplx_dir),
+            "--show_verts", "--show_bbox",
+        ]
+        print("Running command:", subprocess.list2cmdline(cmd))
+        subprocess.run(cmd, cwd=osp.join(args.smplerx_dir, "main"), check=True)
     else:
         raise SystemExit(
             "no SMPLer-X results and --smplerx-dir not given: SMPLer-X is an "
@@ -85,7 +89,12 @@ def main(argv=None):
 
     from ..body.model import load_smplx_npz
     from .keypoints import load_keypoints
-    from .smplify import SMPLify, SMPLifyConfig, smplx_to_openpose25
+    from .smplify import (
+        SMPLify,
+        SMPLifyConfig,
+        smplx_to_openpose25,
+        smplx_to_openpose_hands,
+    )
 
     body = load_smplx_npz(args.smpl_model)
     init = load_smplerx_results(smplerx_result_dir)
@@ -105,17 +114,20 @@ def main(argv=None):
 
     keypoints = load_keypoints(kp_dir)
     keypoints[..., :2] /= np.asarray(img_wh, np.float32)
-    # Body-25 columns only (our joint map covers the kinematic joints; hand
-    # keypoint slices are handled inside SMPLify's stage logic).
-    target = keypoints[:, :25]
+    # Body-25 + both hand-21 blocks; stage 1 zeroes the hand confidences
+    # via hand_kp_slice (reference: ``kp_confs[:, 25:-70] = 0``), stage 2
+    # fits left/right_hand_pose against them. Face columns are dropped
+    # (the reference never optimizes face pose either).
+    target = keypoints[:, :67]
 
     fitter = SMPLify(
         body,
-        smplx_to_openpose25(),
+        np.concatenate([smplx_to_openpose25(), smplx_to_openpose_hands()]),
         SMPLifyConfig(
             preserve_weight=args.preserve_weight,
             smooth_weight=args.smooth_weight,
         ),
+        hand_kp_slice=(25, 67),
     )
     fitted = fitter.fit(
         {k: jnp.asarray(v) for k, v in init.items()},

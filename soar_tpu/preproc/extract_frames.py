@@ -64,15 +64,19 @@ def main(argv=None):
     os.makedirs(img_dir, exist_ok=True)
 
     if shutil.which("ffmpeg"):
-        to_str = f"-to {args.end_time}" if args.end_time else ""
-        cmd = (
-            f"ffmpeg -i {args.video_path} "
-            f"-vf \"select='not(mod(n,{args.skip_time}))',scale=-1:{args.height}\" "
-            f"-fps_mode vfr -start_number 0 -ss {args.start_time} {to_str} "
-            f"{img_dir}/%05d.png"
-        )
-        print("Running command:", cmd)
-        subprocess.call(cmd, shell=True)
+        # Arg list (no shell): paths with spaces stay one argument, and
+        # check=True surfaces an ffmpeg failure here instead of letting the
+        # orchestrator march on with an empty images/ dir.
+        cmd = [
+            "ffmpeg", "-i", args.video_path,
+            "-vf", f"select='not(mod(n,{args.skip_time}))',scale=-1:{args.height}",
+            "-fps_mode", "vfr", "-start_number", "0", "-ss", args.start_time,
+        ]
+        if args.end_time:
+            cmd += ["-to", args.end_time]
+        cmd.append(osp.join(img_dir, "%05d.png"))
+        print("Running command:", subprocess.list2cmdline(cmd))
+        subprocess.run(cmd, check=True)
     else:
         n = extract_with_cv2(
             args.video_path,

@@ -16,6 +16,13 @@ def load_keypoints(kp_dir: str) -> np.ndarray:
     for path in kp_paths:
         with open(path) as f:
             data = json.load(f)
+        if not data["people"]:
+            # OpenPose found nobody in this frame (occlusion / out of
+            # view): zero-filled keypoints with zero confidence, so every
+            # downstream consumer weights the frame out instead of the
+            # whole sequence dying on an IndexError.
+            keypoints.append(np.zeros((137, 3), np.float32))
+            continue
         person = data["people"][0]
         keypoints.append(
             np.array(

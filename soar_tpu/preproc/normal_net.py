@@ -109,15 +109,10 @@ class NormalNet(nn.Module):
 def convert_normalnet_params(sd: Dict) -> Dict:
     """Map the ECON ``normal.ckpt`` torch state_dict (netF/netB Sequential
     indices) onto :class:`NormalNet` variables."""
-    import numpy as np
+    from soar_tpu.core import torch_convert as tc
 
     def conv(prefix, transpose=False):
-        w = np.asarray(sd[prefix + ".weight"])
-        if transpose:  # torch ConvTranspose2d: (in, out, kH, kW) -> HWOI
-            w = np.transpose(w, (2, 3, 1, 0))
-        else:  # (out, in, kH, kW) -> HWIO
-            w = np.transpose(w, (2, 3, 1, 0))
-        return {"kernel": w, "bias": np.asarray(sd[prefix + ".bias"])}
+        return (tc.conv_transpose if transpose else tc.conv)(sd, prefix)
 
     out = {}
     for net in ("netF", "netB"):

@@ -21,6 +21,7 @@ def main(argv=None):
     ap.add_argument("--start-time", default="00:00:00")
     ap.add_argument("--end-time", default=None)
     ap.add_argument("--mask-backend", default="bbox")
+    ap.add_argument("--sam-checkpoint-path", default=None)
     args = ap.parse_args(argv)
 
     from . import compute_kp_and_mask, compute_normal, compute_smplx, extract_frames
@@ -42,6 +43,8 @@ def main(argv=None):
     kp_args = ["--data-dir", data_dir, "--mask-backend", args.mask_backend]
     if args.openpose_dir:
         kp_args += ["--openpose-dir", args.openpose_dir]
+    if args.sam_checkpoint_path:
+        kp_args += ["--sam-checkpoint-path", args.sam_checkpoint_path]
     compute_kp_and_mask.main(kp_args)
 
     sx_args = ["--data-dir", data_dir, "--smpl-model", args.smpl_model]

@@ -73,14 +73,25 @@ def test_sam_tiny_forward():
 
 
 def test_transform_K_by_bbox():
-    from soar_tpu.preproc.compute_normal import transform_K_by_bbox
+    from soar_tpu.preproc.compute_normal import crop_grid, transform_K_by_bbox
 
     K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
     bbox = (100, 80, 356, 336)  # 256x256 crop
     Kc = transform_K_by_bbox(K, bbox, (512, 512))
-    # scale = 2: focal doubles, principal shifts into crop frame.
+    # scale = 2: focal doubles, principal shifts into crop frame
+    # (half-pixel convention: (cx - x0 + 0.5)*s - 0.5).
     assert abs(Kc[0, 0] - 1000.0) < 1e-4
-    assert abs(Kc[0, 2] - (320 - 100) * 2) < 1e-4
+    assert abs(Kc[0, 2] - ((320 - 100 + 0.5) * 2 - 0.5)) < 1e-4
+
+    # The resample grid must be the exact inverse of the K transform: a
+    # source coordinate u_src projected through Kc lands on crop pixel u,
+    # and crop pixel u samples the source at u_src.
+    mx, my = crop_grid(bbox, (512, 512))
+    sx = 512 / (bbox[2] - bbox[0])
+    for u in (0, 1, 255, 511):
+        u_src = mx[0, u]
+        u_crop = (u_src - bbox[0] + 0.5) * sx - 0.5
+        assert abs(u_crop - u) < 1e-4, (u, u_crop)
 
 
 def test_mask_cleanup_keeps_largest_component():

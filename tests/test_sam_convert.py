@@ -43,7 +43,10 @@ def _inv_conv(sd, prefix, d):
 
 
 def _inv_convT(sd, prefix, d):
-    sd[prefix + ".weight"] = np.transpose(np.asarray(d["kernel"]), (2, 3, 0, 1))
+    # Inverse of torch_convert.conv_transpose: undo the spatial flip, then
+    # HWIO -> [in, out, kH, kW].
+    k = np.asarray(d["kernel"])[::-1, ::-1]
+    sd[prefix + ".weight"] = np.ascontiguousarray(np.transpose(k, (2, 3, 0, 1)))
     if "bias" in d:
         sd[prefix + ".bias"] = np.asarray(d["bias"])
 

@@ -27,6 +27,35 @@ def test_rotation_6d_roundtrip():
     np.testing.assert_allclose(R3, R, atol=1e-4)
 
 
+def test_rotmat_to_rotvec_near_pi():
+    """Log map must stay exact where the skew part vanishes (angle ~ pi) —
+    a camera-facing global_orient is conventionally ~pi about x."""
+    from soar_tpu.core.transforms import batch_rodrigues
+
+    cases = np.array(
+        [
+            [np.pi, 0.0, 0.0],
+            [3.141, 0.01, 0.02],
+            [0.0, np.pi, 0.0],
+            [0.0, 0.0, -np.pi + 1e-4],
+            [1e-9, 0.0, 0.0],
+            [0.0, 0.0, 0.0],
+        ],
+        np.float32,
+    )
+    R = batch_rodrigues(jnp.asarray(cases))
+    back = rotmat_to_rotvec(R)
+    np.testing.assert_allclose(batch_rodrigues(back), R, atol=2e-5)
+    # pi about x must come back with magnitude pi (the old skew-part
+    # formula returned ~identity here).
+    assert abs(float(jnp.linalg.norm(back[0])) - np.pi) < 1e-3
+    # Gradients finite everywhere, including the angle ~ 0 limit.
+    g = jax.grad(lambda r: jnp.sum(rotmat_to_rotvec(batch_rodrigues(r)) ** 2))(
+        jnp.asarray(cases)
+    )
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_gmof_saturates():
     x = jnp.asarray([0.0, 1.0, 1e6])
     y = gmof(x, 100.0)
