@@ -269,6 +269,9 @@ def main(argv=None):
     else:
         cfg = TrainConfig(n_views=args.n_views)
     has_normals = bool(getattr(ds, "normal_F", np.zeros(0)).size)
+    # FS sequences ship no back normals (empty normal_B): gate the back
+    # pass + loss off like the reference's `"gt_normal_B" in batch` check.
+    has_normal_B = bool(getattr(ds, "normal_B", np.zeros(0)).size)
     raster = RasterConfig()
 
     from ..train.lpips import make_lpips_fn
@@ -441,6 +444,7 @@ def main(argv=None):
             raster=raster,
             use_explicit=args.use_explicit,
             has_normals=has_normals,
+            has_normal_B=has_normal_B,
             lpips_fn=lpips_fn,
             guidance_fn=guidance_fn,
             split_sds=split_sds,
@@ -484,6 +488,7 @@ def main(argv=None):
                     raster=raster,
                     use_explicit=args.use_explicit,
                     has_normals=has_normals,
+                    has_normal_B=has_normal_B,
                     lpips_fn=lpips_fn,
                     guidance_fn=None,
                     shard_views=shard_views_fn,

@@ -125,8 +125,6 @@ def normal_to_rotmat(normals: jnp.ndarray, key=None) -> jnp.ndarray:
     """
     uz = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
     if key is not None:
-        import jax
-
         helper = jax.random.normal(key, uz.shape, uz.dtype)
     else:
         # Fixed helper; switch axis where nearly parallel to the normal.

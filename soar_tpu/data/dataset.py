@@ -58,8 +58,11 @@ def bbox_crop_512(
     img: np.ndarray, mask: np.ndarray, size: int = 512
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Mask-bbox square crop with 1.1 margin, bilinearly resampled to
-    ``size``² — grid semantics of the reference's ``F.grid_sample`` crop
-    (``uncond_multiview.py:246-314``, align_corners=False)."""
+    ``size``² — exact grid semantics of the reference's ``F.grid_sample``
+    crop (``uncond_multiview.py:246-314``): an endpoint-inclusive linspace
+    over the bbox in pixel units, sampled under align_corners=False, which
+    in cv2.remap's integer-pixel-centre convention is that same linspace
+    shifted by -0.5."""
     import cv2
 
     ys, xs = np.nonzero(mask)
@@ -74,8 +77,8 @@ def bbox_crop_512(
     s = max(x1 - x0, y1 - y0) * 1.1
     H, W = mask.shape
     # Sample positions along the bbox, normalized like the grid_sample call.
-    gx = np.linspace(cx - s / 2.0, cx + s / 2.0, size, dtype=np.float32)
-    gy = np.linspace(cy - s / 2.0, cy + s / 2.0, size, dtype=np.float32)
+    gx = np.linspace(cx - s / 2.0, cx + s / 2.0, size, dtype=np.float32) - 0.5
+    gy = np.linspace(cy - s / 2.0, cy + s / 2.0, size, dtype=np.float32) - 0.5
     mx, my = np.meshgrid(gx, gy)
     crop = cv2.remap(
         img.astype(np.float32), mx, my, cv2.INTER_LINEAR, borderValue=0
@@ -124,13 +127,16 @@ class AvatarDataset:
         H, W = self.image_size
         K = self.Ks[idx]
         nK = self.normal_Ks[idx]
+        # Normal-camera fov over the stored normal-map resolution (512 for
+        # real data; make_gt_batch sizes the render to the same maps).
+        nres = self.normal_F.shape[1] if self.normal_F.size else 512
         return {
             "fovx": 2 * np.arctan(W / (2 * K[0, 0])),
             "fovy": 2 * np.arctan(H / (2 * K[1, 1])),
             "cx": K[0, 2],
             "cy": K[1, 2],
-            "normal_fovx": 2 * np.arctan(512 / (2 * nK[0, 0])),
-            "normal_fovy": 2 * np.arctan(512 / (2 * nK[1, 1])),
+            "normal_fovx": 2 * np.arctan(nres / (2 * nK[0, 0])),
+            "normal_fovy": 2 * np.arctan(nres / (2 * nK[1, 1])),
             "normal_cx": nK[0, 2],
             "normal_cy": nK[1, 2],
         }
@@ -165,8 +171,6 @@ def load_insav_smpl_params(seq_dir: str) -> Dict[str, np.ndarray]:
     template and skinning weights from kNN (``:601-637``) exactly like the
     other modes, so this loader is the complete live surface.  Images /
     masks, when present, use the standard ``load_sequence`` layout."""
-    import os
-
     path = os.path.join(seq_dir, "train", "smpl_parms.pth")
     if not os.path.exists(path):
         path = os.path.join(seq_dir, "smpl_parms.pth")
@@ -339,7 +343,11 @@ def load_fs_sequence(
     focal = H / (2 * np.tan(np.deg2rad(fov_deg) / 2))
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
     Ks = np.tile(K[None], (F, 1, 1))
-    normal_Ks = Ks / 2.0
+    # The trainer renders normal supervision at 512² (gt_normal_res = 512,
+    # ``uncond_multiview.py:1550``), and the maps below are resized onto
+    # that grid; the matching camera is Ks scaled by 512/H (the reference's
+    # ``intrinsic / 2`` is this same factor hard-assuming 1024² inputs).
+    normal_Ks = Ks * (512.0 / H)
     normal_Ks[:, 2, 2] = 1.0
 
     # Rotate world-space normals into each camera frame (``:1389-1398``).
@@ -350,6 +358,19 @@ def load_fs_sequence(
         nl = nl / np.maximum(np.linalg.norm(nl, axis=-1, keepdims=True), 1e-8)
         nl = (nl.reshape(n.shape) + 1.0) / 2.0
         nfs.append(nl * nmasks[i][..., None])
+
+    # Enforce the AvatarDataset [F, 512, 512, 3] normal contract: resize
+    # maps stored at another resolution so they align with normal_Ks and
+    # the 512² normal render (the reference never resizes and would crash
+    # on a non-512 FS normal map).
+    if nfs[0].shape[0] != 512:
+        import cv2
+
+        nfs = [cv2.resize(n, (512, 512), interpolation=cv2.INTER_LINEAR) for n in nfs]
+        nmasks = [
+            cv2.resize(m, (512, 512), interpolation=cv2.INTER_LINEAR)
+            for m in nmasks
+        ]
 
     smpl_path = os.path.join(dataroot, "smplx", "params.pth")
     smpl_params = (
@@ -370,7 +391,11 @@ def load_fs_sequence(
         images=images,
         masks=np.stack(masks),
         normal_F=np.stack(nfs),
-        normal_B=np.zeros_like(np.stack(nfs)),  # FS has no back normals
+        # FS ships no back normals: reference FS sets gt_normal_B = None
+        # and the _fs configs zero lambda_normal_B. An empty array (not
+        # zeros) marks them absent so nothing ever supervises against a
+        # fabricated constant direction.
+        normal_B=np.zeros((F, 0, 0, 3), np.float32),
         normal_mask=np.stack(nmasks),
         images_crop=np.stack(crops_i),
         masks_crop=np.stack(crops_m),

@@ -173,14 +173,19 @@ def unpack_tcnn_mlp(
     for i, (rows, cols) in enumerate(shapes):
         W = packed[off : off + rows * cols].reshape(rows, cols)
         off += rows * cols
+        b = np.zeros(W.shape[0], np.float32)
         if i == 0:
+            # tcnn pads the input activations to the 16-aligned width with
+            # ONES (encodings fill padded_output_width with 1; tcnn.Network
+            # is NetworkWithInputEncoding over an Identity encoding), so
+            # the trained weight columns beyond in_dim act as per-neuron
+            # biases — fold their row-sum into b instead of dropping them.
+            b = np.asarray(W[:, in_dim:].sum(axis=1), np.float32)
             W = W[:, :in_dim]
         if i == len(shapes) - 1:
             W = W[:out_dim]
-        layers.append(
-            {"w": np.asarray(W, np.float32).T,
-             "b": np.zeros(W.shape[0], np.float32)}
-        )
+            b = b[:out_dim]
+        layers.append({"w": np.asarray(W, np.float32).T, "b": b})
     return layers
 
 

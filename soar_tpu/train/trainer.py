@@ -96,6 +96,7 @@ def make_train_step(
     use_explicit: bool = False,
     n_views: Optional[int] = None,
     has_normals: bool = True,
+    has_normal_B: bool = True,
     shard_views: Optional[Callable] = None,
     shard_gt: Optional[Callable] = None,
     lpips_fn: Optional[Callable] = None,
@@ -180,6 +181,14 @@ def make_train_step(
         zoom_range=cfg.zoom_range,
     )
     w = stage.loss
+    # Back-surface supervision is gated like the reference's
+    # ``lambda_normal_B > 0.0 and "gt_normal_B" in batch``
+    # (``gaussian_surfel_mvdream.py:363``): FS datasets ship no back
+    # normals (``uncond_multiview.py`` FS sets gt_normal_B = None and the
+    # _fs configs zero the lambda). Statically off -> the reversed
+    # back-face composite is never traced.
+    nB_w_on = isinstance(w.normal_B, (tuple, list)) or float(w.normal_B) != 0.0
+    use_nB = has_normals and has_normal_B and nB_w_on
 
     def gen_pass(params, bg_params, batch, key, attrs, settings=None):
         """Shared gen-view computation: key split, camera draw (+head
@@ -311,10 +320,15 @@ def make_train_step(
             # preprocess/sort (``RenderSettings.both_faces``) — the
             # reference runs two full CUDA rasterizations with opposite
             # sort orders (``gaussian_surfel_mvdream.py:334-341``).
-            gt_nF, gt_nB = _gt_render(
-                normal_size,
-                dataclasses.replace(gt_settings, both_faces=True),
-            )(params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx)
+            if use_nB:
+                gt_nF, gt_nB = _gt_render(
+                    normal_size,
+                    dataclasses.replace(gt_settings, both_faces=True),
+                )(params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx)
+            else:
+                gt_nF = _gt_render(normal_size, gt_settings)(
+                    params, attrs, batch["normal_cam"], jnp.ones(3), frame_idx
+                )
 
         metrics = {}
         loss = jnp.zeros(())
@@ -343,9 +357,10 @@ def make_train_step(
             loss_nF = 0.2 * L.cos_loss(
                 gt_nF["normal"], batch["gt_normal_F"], nmask, thrsh=0.0
             )
-            loss_nB = 0.2 * L.cos_loss(
-                gt_nB["normal"], batch["gt_normal_B"], nmask, thrsh=0.0
-            )
+            if use_nB:
+                loss_nB = 0.2 * L.cos_loss(
+                    gt_nB["normal"], batch["gt_normal_B"], nmask, thrsh=0.0
+                )
             if lpips_fn is not None:
                 # masked-normal LPIPS, coefficient 1 inside the normal
                 # lambdas (``gaussian_surfel_mvdream.py:342-393``): inputs
@@ -358,11 +373,13 @@ def make_train_step(
                     )
 
                 loss_nF = loss_nF + nlp(gt_nF["normal"], batch["gt_normal_F"])
-                loss_nB = loss_nB + nlp(gt_nB["normal"], batch["gt_normal_B"])
+                if use_nB:
+                    loss_nB = loss_nB + nlp(gt_nB["normal"], batch["gt_normal_B"])
             loss = loss + C(w.normal_F) * loss_nF
             metrics["loss_normal_F"] = loss_nF
-            loss = loss + C(w.normal_B) * loss_nB
-            metrics["loss_normal_B"] = loss_nB
+            if use_nB:
+                loss = loss + C(w.normal_B) * loss_nB
+                metrics["loss_normal_B"] = loss_nB
 
             loss_nmask = jnp.mean(
                 jnp.abs(gt_nF["mask"] - batch["gt_normal_mask"])
@@ -581,7 +598,7 @@ def make_gt_batch(ds, model: AvatarModel, frame_idx: int) -> Dict:
     )
     # Normal cameras: principal point inside the projection, prcp=(.5,.5)
     # (``gaussian_batch_renderer.py:40-58, 84-103``).
-    nres = 512 if ds.normal_F.size else ds.images_crop.shape[1]
+    nres = ds.normal_F.shape[1] if ds.normal_F.size else ds.images_crop.shape[1]
     normal_cam = camera_from_c2w(
         c2w,
         jnp.asarray(fov["normal_fovx"]),
@@ -604,6 +621,9 @@ def make_gt_batch(ds, model: AvatarModel, frame_idx: int) -> Dict:
     }
     if ds.normal_F.size:
         batch["gt_normal_F"] = jnp.asarray(ds.normal_F[frame_idx])
-        batch["gt_normal_B"] = jnp.asarray(ds.normal_B[frame_idx])
         batch["gt_normal_mask"] = jnp.asarray(ds.normal_mask[frame_idx])
+        if ds.normal_B.size:
+            # FS sequences ship no back normals (reference FS sets
+            # gt_normal_B = None); key absent -> the nB loss is untraced.
+            batch["gt_normal_B"] = jnp.asarray(ds.normal_B[frame_idx])
     return batch

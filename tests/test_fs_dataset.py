@@ -39,8 +39,23 @@ def test_load_fs_sequence(tmp_path):
     assert ds.w2c.shape == (F, 4, 4)  # per-view extrinsics
     assert ds.train_idx == [0, 4]
     assert len(ds.val_idx) + len(ds.test_idx) == F - 2
-    # Normals got rotated + normalized into [0,1].
+    # Normals got rotated + normalized into [0,1], resized onto the 512²
+    # supervision grid with a matching camera.
+    assert ds.normal_F.shape == (F, 512, 512, 3)
+    assert ds.normal_mask.shape == (F, 512, 512)
+    assert abs(ds.normal_Ks[0][0, 0] - ds.Ks[0][0, 0] * 512.0 / H) < 1e-4
     assert ds.normal_F.min() >= 0.0 and ds.normal_F.max() <= 1.0
+    # FS ships no back normals: marked absent (empty), never zero images
+    # that the normal_B loss would supervise against (reference FS sets
+    # gt_normal_B = None and the _fs configs zero lambda_normal_B).
+    assert ds.normal_B.size == 0
+    from soar_tpu.train.trainer import make_gt_batch
+
+    class _M:  # make_gt_batch only touches ds fields
+        pass
+
+    batch = make_gt_batch(ds, _M(), 0)
+    assert "gt_normal_F" in batch and "gt_normal_B" not in batch
     # gt_c2w differs per frame.
     assert not np.allclose(ds.gt_c2w(0), ds.gt_c2w(3))
 

@@ -119,6 +119,29 @@ def test_unpack_tcnn_mlp():
         unpack_tcnn_mlp(packed[:-1], in_dim, hidden, out_dim, 2)
 
 
+def test_unpack_tcnn_mlp_input_padding_bias():
+    """tcnn pads input activations to 16-aligned width with ONES, so the
+    weight columns beyond in_dim are effective biases (the offsets head has
+    in_dim 34 -> padded 48). Dropping them silently shifts every first-layer
+    pre-activation."""
+    rng = np.random.RandomState(3)
+    in_dim, hidden, out_dim = 34, 64, 3  # padded input 48
+    W0 = rng.randn(hidden, 48).astype(np.float32)
+    W1 = rng.randn(16, hidden).astype(np.float32)
+    packed = np.concatenate([W0.ravel(), W1.ravel()])
+    layers = unpack_tcnn_mlp(packed, in_dim, hidden, out_dim, num_layers=2)
+    assert layers[0]["w"].shape == (in_dim, hidden)
+
+    x = rng.randn(5, in_dim).astype(np.float32)
+    x_pad = np.concatenate([x, np.ones((5, 48 - in_dim), np.float32)], -1)
+    want = np.maximum(x_pad @ W0.T, 0.0) @ W1[:out_dim].T
+    got = (
+        np.maximum(x @ layers[0]["w"] + layers[0]["b"], 0.0) @ layers[1]["w"]
+        + layers[1]["b"]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def _make_field_sd(rng, layout="torch", num_levels=4, max_res=128,
                    log2=10, hidden=64):
     prefix = "geometry.attribute_field."

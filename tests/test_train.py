@@ -91,3 +91,55 @@ def test_train_step_decreases_recon():
     assert np.isfinite(last["loss"])
     assert last["loss_recon"] < first["loss_recon"] * 0.9, (first, last)
     assert last["loss_mask"] < first["loss_mask"], (first, last)
+
+
+def test_train_step_front_normals_only():
+    """FS-style data: normal_F present, normal_B absent. The step must
+    supervise the front normals and never touch a gt_normal_B key
+    (reference gate: lambda_normal_B > 0 and "gt_normal_B" in batch)."""
+    import dataclasses as dc
+
+    ds, _ = make_synthetic_sequence(num_frames=2, image_size=(64, 64))
+    # Attach front-normal supervision only (what load_fs_sequence builds).
+    F = ds.num_frames
+    rng = np.random.RandomState(0)
+    n = rng.uniform(0.0, 1.0, (F, 64, 64, 3)).astype(np.float32)
+    ds = dc.replace(
+        ds,
+        normal_F=n,
+        normal_B=np.zeros((F, 0, 0, 3), np.float32),
+        normal_mask=ds.masks.astype(np.float32),
+        normal_Ks=ds.Ks.copy(),
+    )
+
+    body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
+        num_subdiv=1,
+        field_cfg=TINY_FIELD,
+        distill_steps=0,
+    )
+    cfg = TrainConfig(n_views=2)
+    stage = StageConfig(training_stage=0, loss=LossWeights(curv=0.05))
+    state, opt = init_train_state(params, model, cfg)
+    step_fn = jax.jit(
+        make_train_step(
+            model,
+            cfg,
+            stage,
+            opt,
+            gen_size=(64, 64),
+            gt_size=(64, 64),
+            normal_size=(64, 64),
+            raster=RasterConfig(max_per_tile=64, dup_side=3),
+            use_explicit=True,
+            has_normals=True,
+            has_normal_B=False,
+        )
+    )
+    batch = make_gt_batch(ds, model, 0)
+    assert "gt_normal_B" not in batch
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss_normal_F" in metrics and "loss_normal_B" not in metrics
