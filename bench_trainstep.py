@@ -152,7 +152,7 @@ def run(include_sds: bool = True):
     import sys
 
     def build(guidance_fn, stage):
-        state, opt = init_train_state(params, model, cfg, stage=stage)
+        state, opt = init_train_state(params, cfg, stage=stage)
         raw = make_train_step(
             model,
             cfg,

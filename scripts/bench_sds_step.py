@@ -62,7 +62,7 @@ def main():
             dtype=jnp.bfloat16,
         )
 
-    state, opt = init_train_state(params, model, cfg, stage=stage)
+    state, opt = init_train_state(params, cfg, stage=stage)
     raw = make_train_step(
         model,
         cfg,

@@ -10,8 +10,9 @@ GaussianDreamer text-to-3D system drives it
 TPU redesign: torch grows/shrinks tensors (re-building the optimizer each
 time); under jit we keep a static CAPACITY with an ``alive`` mask — clones
 and splits are scattered into dead slots, pruning just clears ``alive``.
-Everything is one jitted function; no optimizer rebuild (dead slots simply
-receive no gradient because their alpha contribution is masked).
+Everything is one jitted function; no optimizer rebuild (dead slots are
+parked out of frustum with opacity logits -10, so they composite nothing and
+receive no render gradient).
 """
 
 from __future__ import annotations
@@ -157,7 +158,9 @@ def adaptive_densify(
     split_mask = high_grad & (scales > percent_dense * extent)
     R = quat_to_rotmat(
         params.rotation
-        / jnp.maximum(jnp.linalg.norm(params.rotation, -1, keepdims=True), 1e-12)
+        / jnp.maximum(
+            jnp.linalg.norm(params.rotation, axis=-1, keepdims=True), 1e-12
+        )
     )
     std = jnp.exp(params.scaling[:, 0:1])
     local = jax.random.normal(key, params.xyz.shape) * std

@@ -36,9 +36,21 @@ class RenderSettings:
     forward() kwargs of the reference)."""
 
     use_explicit: bool = False  # explicit colors/scales vs attribute field
-    offset: bool = False  # apply field offsets to points
+    # Apply field offsets to the POSED points (pre axis-permute), mirroring
+    # ``diff_gaussian_rasterizer.py:107-108``.  Every shipped reference
+    # config sets ``renderer.offset: false`` (and the per-frame latent_pose
+    # feed into the offsets head is commented out upstream,
+    # ``:92 #z=pc.latent_pose[idx]``), so production parity is offset=False;
+    # the True path exists for the same config surface the reference exposes.
+    offset: bool = False
     gen_view: bool = False  # random novel view: zero root + axis permute
     render_front: bool = True  # False => back-surface pass (sort descending)
+    # SOAR surfels composite with opacity forced to 1
+    # (``diff_gaussian_rasterizer.py:259``).  The GaussianDreamer 3DGS system
+    # instead blends with sigmoid(opacity logits) and needs the render
+    # gradient on them for its opacity regularizer + densify/prune stats
+    # (``system/gaussian_splatting.py``) — it sets force_opaque=False.
+    force_opaque: bool = True
     raster: RasterConfig = RasterConfig()
     # lite mode: skip the occlusion pass and the curvature / depth->normal
     # post ops; render/normal/depth/mask values are IDENTICAL to the full
@@ -119,8 +131,12 @@ def render_view(
         colors = attrs["shs"]
     scales = jnp.concatenate([scale1, scale1, jnp.zeros_like(scale1)], axis=-1)
 
-    # Opacities forced to 1 (``renderer/diff_gaussian_rasterizer.py:259``).
-    ones = jnp.ones_like(params.opacity[:, 0])
+    # Opacities forced to 1 (``renderer/diff_gaussian_rasterizer.py:259``)
+    # for SOAR surfels; sigmoid logits for the 3DGS (GaussianDreamer) mode.
+    if settings.force_opaque:
+        opac = jnp.ones_like(params.opacity[:, 0])
+    else:
+        opac = S.get_opacity(params)[:, 0]
 
     main_cfg = dataclasses.replace(
         settings.raster,
@@ -137,7 +153,7 @@ def render_view(
         means3d=posed,
         quats=rot_out,
         scales=scales,
-        opacities=ones,
+        opacities=opac,
         colors=colors,
     )
     occ_colors = jnp.broadcast_to(S.get_occ(params), (points.shape[0], 3))
@@ -182,6 +198,10 @@ def render_view(
             "occ": occ_out.color,
             "curv": curv,
             "overflow": out.overflow,
+            # [N] per-surfel culling survival (the reference's radii > 0
+            # ``update_filter``) — consumed by the GaussianDreamer system's
+            # densification-stat accumulation.
+            "visible": out.visible,
         }
 
     if settings.both_faces:

@@ -424,7 +424,7 @@ def main(argv=None):
             return replicate(mesh, tree)
 
         state, opt = init_train_state(
-            params, model, cfg, seed=args.seed, stage=stage_cfg
+            params, cfg, seed=args.seed, stage=stage_cfg
         )
         split_sds = guidance_fn is not None and args.sds_mode == "split"
         # fused mode routes through apply_with_params: the network weights

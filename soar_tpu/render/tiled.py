@@ -420,12 +420,14 @@ def _rasterize_core(
     if also_back:
         gidx, g_f = gather(False)
         main_out, front_slots = composite_main(g_f)
+        main_out = main_out._replace(visible=pre.valid)
         _, g_b = gather(True)
         back_out, _ = composite_main(g_b)
         main_ret = (main_out, back_out)
     else:
         gidx, g_f = gather(cfg.compose_reverse)
         main_out, front_slots = composite_main(g_f)
+        main_out = main_out._replace(visible=pre.valid)
         if cfg.compose_reverse and occ_colors is not None:
             # The occ pass is always front-to-back ascending
             # (``diff_gaussian_rasterizer.py:281-291``): re-gather forward.

@@ -108,3 +108,8 @@ class RenderOutputs(NamedTuple):
     # well-capacitized scene; nonzero = silently wrong images (VERDICT r1
     # weak #3), so the trainer logs it and bench.py asserts it is 0.
     overflow: jnp.ndarray = None
+    # [N] bool: per-surfel culling survival from preprocess — the reference's
+    # ``radii > 0`` visibility filter that gates densification-stat
+    # accumulation (``surfel_base.py:1113-1136`` update_filter).  Set on the
+    # main pass only; None on derived (occ) outputs.
+    visible: jnp.ndarray = None

@@ -72,7 +72,14 @@ def apply_random_aug(
     aug_prob: float = 0.5,
 ) -> jnp.ndarray:
     """Random solid-background augmentation shared across views
-    (``gaussian_mvdream_background.py:59-72``, share_aug_bg=True)."""
+    (``gaussian_mvdream_background.py:59-72``, share_aug_bg=True).
+
+    Gradient note: the reference writes ``color * 0 + solid`` purely to keep
+    the bg MLP attached to the graph for DDP's unused-parameter check — the
+    gradient through ``color * 0`` is identically zero, so ``jnp.where``
+    (which blocks the color gradient on the aug branch) is exactly
+    equivalent; and the bg MLP is never optimized anyway (its optimizer is
+    built but dropped, ``gaussian_surfel_mvdream.py:59-66``)."""
     k1, k2, k3 = jax.random.split(key, 3)
     use_aug = jax.random.uniform(k1) < aug_prob
     nonzero = jax.random.uniform(k2) < 0.5

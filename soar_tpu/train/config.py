@@ -48,6 +48,9 @@ class LossWeights:
     delta: Scheduled = 1.0
     occ: Scheduled = 0.1
     curv: Scheduled = 0.5
+    # Dead in the reference: ``lambda_offsets: 0.1`` ships in every config
+    # but no system consumes it (grep of threestudio-soar finds no reader).
+    # Kept for YAML-schema parity; intentionally unwired here too.
     offsets: Scheduled = 0.1
 
 

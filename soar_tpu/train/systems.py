@@ -76,7 +76,13 @@ def make_gaussiandreamer_step(
     densification stats, and ``maintain(params, dstate, key, step)`` applies
     densify/prune on the configured schedule (host-side cadence, jitted
     bodies)."""
-    settings = RenderSettings(use_explicit=True, gen_view=True, raster=cfg.raster)
+    # 3DGS blending: sigmoid opacities composite (and receive the render
+    # gradient the opacity regularizer + densify stats depend on) — unlike
+    # the SOAR surfel renderer's forced-opaque mode
+    # (``system/gaussian_splatting.py`` vs ``diff_gaussian_rasterizer.py:259``).
+    settings = RenderSettings(
+        use_explicit=True, gen_view=True, force_opaque=False, raster=cfg.raster
+    )
 
     def loss_fn(params, point_weights, key, step):
         mdl = dataclasses.replace(
@@ -113,6 +119,11 @@ def make_gaussiandreamer_step(
         if isinstance(w.tv, tuple) or w.tv > 0:
             loss = loss + scheduled(w.tv, step) * L.tv_loss(out["render"])
         metrics["loss"] = loss
+        # Per-surfel visibility across the view batch — the reference's
+        # ``radii > 0`` update_filter (``surfel_base.py:1113-1136``): stats
+        # only accumulate (and denom only counts) views that actually saw
+        # the point, so never-rendered surfels keep denom==0 and are pruned.
+        metrics["_visible"] = jnp.any(out["visible"], axis=0)
         return loss, metrics
 
     @jax.jit
@@ -120,12 +131,13 @@ def make_gaussiandreamer_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, point_weights, key, step
         )
+        visible = metrics.pop("_visible")
         dstate = accumulate_stats(
             dstate,
             grads.xyz,
             grads.scaling,
             params.opacity,
-            dstate.alive,
+            visible & dstate.alive,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

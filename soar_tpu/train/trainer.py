@@ -62,7 +62,6 @@ def scale_gradient(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def init_train_state(
     params: AvatarParams,
-    model: AvatarModel,
     cfg: TrainConfig,
     seed: int = 0,
     stage: Optional[StageConfig] = None,
@@ -78,6 +77,21 @@ def init_train_state(
             step=jnp.zeros((), jnp.int32),
         ),
         opt,
+    )
+
+
+def gen_camera_config(cfg: TrainConfig, nv: int) -> CameraSampleConfig:
+    """Gen-view camera distribution from the train config — every sampling
+    knob the reference's ``random_camera`` dataset block exposes
+    (``uncond_multiview.py:430-607``) must pass through here."""
+    return CameraSampleConfig(
+        n_view=nv,
+        elevation_range=cfg.elevation_range,
+        azimuth_range=cfg.azimuth_range,
+        fovy_range=cfg.fovy_range,
+        camera_distance_range=cfg.camera_distance_range,
+        zoom_range=cfg.zoom_range,
+        relative_radius=cfg.relative_radius,
     )
 
 
@@ -172,14 +186,7 @@ def make_train_step(
         use_explicit=use_explicit, gen_view=False,
         raster=raster if raster_gt is None else raster_gt,
     )
-    cam_cfg = CameraSampleConfig(
-        n_view=nv,
-        elevation_range=cfg.elevation_range,
-        azimuth_range=cfg.azimuth_range,
-        fovy_range=cfg.fovy_range,
-        camera_distance_range=cfg.camera_distance_range,
-        zoom_range=cfg.zoom_range,
-    )
+    cam_cfg = gen_camera_config(cfg, nv)
     w = stage.loss
     # Back-surface supervision is gated like the reference's
     # ``lambda_normal_B > 0.0 and "gt_normal_B" in batch``

@@ -122,7 +122,7 @@ def test_train_step_with_lpips_terms():
             normal_F=0.0, normal_B=0.0, normal_mask=0.0, vgg=0.1
         ),
     )
-    state, opt = init_train_state(params, model, cfg)
+    state, opt = init_train_state(params, cfg)
     step_fn = jax.jit(
         make_train_step(
             model,

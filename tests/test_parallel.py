@@ -78,7 +78,7 @@ def test_sharded_step_matches_unsharded(setup):
     assert len(jax.devices()) >= N_DEV, "conftest must force 8 CPU devices"
 
     cfg = TrainConfig(n_views=N_DEV)
-    state0, opt = init_train_state(params, model, cfg)
+    state0, opt = init_train_state(params, cfg)
     batch = make_gt_batch(ds, model, ds.train_idx[0])
     key = jax.random.PRNGKey(3)
 

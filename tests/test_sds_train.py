@@ -53,7 +53,7 @@ def setup():
 def _make_step(setup, stage, guidance_fn, head_prob=0.0, n_views=2):
     ds, params, model = setup
     cfg = TrainConfig(n_views=n_views, head_prob=head_prob)
-    state, opt = init_train_state(params, model, cfg)
+    state, opt = init_train_state(params, cfg)
     step_fn = jax.jit(
         make_train_step(
             model,
@@ -226,7 +226,7 @@ def test_split_sds_matches_fused(setup):
     results = {}
     for mode in ("fused", "split", "split_fused_prelude"):
         cfg = TrainConfig(n_views=2, head_prob=0.4)
-        state, opt = init_train_state(params, model, cfg)
+        state, opt = init_train_state(params, cfg)
         # step=1 so the SDS gate (step > sds_start) is open
         state = state._replace(step=jnp.ones((), jnp.int32))
         raw = make_train_step(
@@ -297,7 +297,7 @@ def test_sds_via_params_matches_fused(setup):
     results = {}
     for mode in ("fused", "args"):
         cfg = TrainConfig(n_views=2, head_prob=0.0)
-        state, opt = init_train_state(params, model, cfg)
+        state, opt = init_train_state(params, cfg)
         state = state._replace(step=jnp.ones((), jnp.int32))
         raw = make_train_step(
             model, cfg, stage, opt,
@@ -396,7 +396,7 @@ def test_make_mvdream_step(setup):
     cfg = TrainConfig(n_views=2, head_prob=0.0)
     from soar_tpu.train.trainer import init_train_state
 
-    state, opt = init_train_state(params, model, cfg)
+    state, opt = init_train_state(params, cfg)
     step_fn = jax.jit(
         make_mvdream_step(
             model, cfg, stage, opt, guidance_fn,

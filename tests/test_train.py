@@ -60,7 +60,7 @@ def test_train_step_decreases_recon():
             normal_F=0.0, normal_B=0.0, normal_mask=0.0, curv=0.05
         ),
     )
-    state, opt = init_train_state(params, model, cfg)
+    state, opt = init_train_state(params, cfg)
     raster = RasterConfig(max_per_tile=64, dup_side=3)
     step_fn = make_train_step(
         model,
@@ -122,7 +122,7 @@ def test_train_step_front_normals_only():
     )
     cfg = TrainConfig(n_views=2)
     stage = StageConfig(training_stage=0, loss=LossWeights(curv=0.05))
-    state, opt = init_train_state(params, model, cfg)
+    state, opt = init_train_state(params, cfg)
     step_fn = jax.jit(
         make_train_step(
             model,
