@@ -141,8 +141,16 @@ def _pose_segments(params, num_joints: int):
     if num_joints != 55:
         return full_tail
     bp = params.get("body_pose")
-    if bp is not None and bp.size % ((num_joints - 1) * 3) == 0:
-        return full_tail
+    if bp is not None:
+        # Judge the PER-ITEM layout from the trailing shape, never from
+        # total-size divisibility (a [B, 63] standard body_pose has size
+        # 63*B, which is divisible by 162 whenever B % 18 == 0 — e.g. a
+        # 90-frame capture batch — and must NOT route to the full tail).
+        n_tail = (num_joints - 1) * 3
+        if bp.shape[-1] == n_tail or (
+            bp.ndim >= 2 and bp.shape[-2:] == (num_joints - 1, 3)
+        ):
+            return full_tail
     return SMPLX_SEGMENTS
 
 

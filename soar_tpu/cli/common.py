@@ -37,3 +37,62 @@ def synthetic_setup(distill_steps: int = 0, seed: int = 0):
         distill_steps=distill_steps,
     )
     return ds, params, model
+
+
+def load_body_model(smpl_model: str):
+    """SMPL-X .npz or legacy SMPL .pkl, by extension (the ONE dispatch rule
+    — cli.train, cli.render_rot and cli.export_mesh must accept the same
+    model files or checkpoints stop being loadable across tools)."""
+    from ..body.model import load_smpl_pkl, load_smplx_npz
+
+    return (
+        load_smpl_pkl(smpl_model)
+        if smpl_model.endswith(".pkl")
+        else load_smplx_npz(smpl_model)
+    )
+
+
+def real_setup(
+    dataroot: str,
+    smpl_model: str,
+    num_subdiv: int = 2,
+    seed: int = 0,
+    distill_steps: int = 1000,
+):
+    """Returns (ds, params, model) for a real capture — the shared rebuild
+    all three CLIs use so a checkpoint trained by ``cli.train`` restores
+    with matching shapes everywhere.  Handles the insav_wild
+    (GaussianAvatar-style) layout: SMPL-24 params in train/smpl_parms.pth,
+    images under <seq>/train (``utils/smpl.py:182-205``)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ..avatar import init_avatar
+    from ..data.dataset import load_sequence
+    from ..field.attribute_field import AttributeFieldConfig
+
+    insav_params = None
+    for cand in ("train/smpl_parms.pth", "smpl_parms.pth"):
+        if os.path.exists(os.path.join(dataroot, cand)):
+            from ..data.dataset import load_insav_smpl_params
+
+            insav_params = load_insav_smpl_params(dataroot)
+            break
+    img_root = dataroot
+    if insav_params is not None and os.path.isdir(
+        os.path.join(dataroot, "train", "images")
+    ):
+        img_root = os.path.join(dataroot, "train")
+    ds = load_sequence(img_root)
+    body = load_body_model(smpl_model)
+    smpl_params = insav_params if insav_params is not None else ds.smpl_params
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in smpl_params.items()},
+        num_subdiv=num_subdiv,
+        field_cfg=AttributeFieldConfig(),
+        seed=seed,
+        distill_steps=distill_steps,
+    )
+    return ds, params, model

@@ -24,7 +24,7 @@ def run_turntable(out_dir, ds, params, model, use_explicit, num_views=36,
     import numpy as np
 
     from ..avatar import RenderSettings, render_view
-    from ..core.transforms import batch_rodrigues, rotmat_to_quat
+    from ..core.transforms import batch_rodrigues, rotmat_to_rotvec
     from ..render.types import RasterConfig
     from ..train.evaluate import save_png, try_save_mp4
     from ..train.trainer import make_gt_batch
@@ -59,11 +59,9 @@ def run_turntable(out_dir, ds, params, model, use_explicit, num_views=36,
         c, s = np.cos(angle), np.sin(angle)
         Ry = jnp.asarray(np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32))
         R = R0 @ Ry
-        q = rotmat_to_quat(R[None])[0]  # matrix -> axis-angle via quaternion
-        w = jnp.clip(q[0], -1.0, 1.0)
-        ang = 2.0 * jnp.arccos(w)
-        axis = q[1:] / jnp.maximum(jnp.linalg.norm(q[1:]), 1e-8)
-        out = render(params, {"global_orient": axis * ang})
+        # Hardened quaternion log map (exact at pi — a camera-facing
+        # global_orient is conventionally ~pi about x).
+        out = render(params, {"global_orient": rotmat_to_rotvec(R)})
         frame = {
             "rgb": np.asarray(out["render"]),
             "normal": np.asarray(out["normal"]),
@@ -94,9 +92,7 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from ..avatar import init_avatar
-    from ..data.dataset import load_sequence, make_synthetic_sequence
-    from ..field.attribute_field import AttributeFieldConfig
+    from ..data.dataset import make_synthetic_sequence
     from ..io.checkpoint import load_avatar
 
     if args.synthetic:
@@ -115,16 +111,11 @@ def main(argv=None):
 
         ds, params, model = synthetic_setup(distill_steps=0)
     else:
-        from ..body.model import load_smplx_npz
+        from .common import real_setup
 
-        ds = load_sequence(args.dataroot)
-        body = load_smplx_npz(args.smpl_model)
-        params, model = init_avatar(
-            body,
-            {k: jnp.asarray(v) for k, v in ds.smpl_params.items()},
-            num_subdiv=args.num_subdiv,
-            field_cfg=AttributeFieldConfig(),
-            distill_steps=0,
+        ds, params, model = real_setup(
+            args.dataroot, args.smpl_model,
+            num_subdiv=args.num_subdiv, distill_steps=0,
         )
 
     attrs = None
@@ -138,7 +129,9 @@ def main(argv=None):
             )
 
             ref_sd = load_reference_state_dict(args.ckpt)
-            mapped = import_reference_ckpt(args.ckpt, state_dict=ref_sd)
+            mapped = import_reference_ckpt(
+                args.ckpt, like=params, state_dict=ref_sd
+            )
             params = params._replace(
                 **{k: jnp.asarray(v) for k, v in mapped.items()}
             )

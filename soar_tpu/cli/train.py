@@ -104,7 +104,12 @@ def main(argv=None):
         "--config is given, else 1000)",
     )
     ap.add_argument("--num-subdiv", type=int, default=2)
-    ap.add_argument("--n-views", type=int, default=4)
+    ap.add_argument(
+        "--n-views", type=int, default=None,
+        help="SDS gen views per step (default: the YAML's data.n_view when "
+        "--config is given, else 4) — None sentinel so a --config value "
+        "is not stomped by an argparse default",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--use-explicit", action="store_true")
@@ -202,10 +207,6 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..avatar import init_avatar
-    from ..avatar.state import AvatarParams
-    from ..data.dataset import load_sequence
-    from ..field.attribute_field import AttributeFieldConfig
     from ..io.checkpoint import load_avatar, save_avatar
     from ..render.types import RasterConfig
     from ..train.config import TrainConfig
@@ -213,6 +214,15 @@ def main(argv=None):
     from ..train.trainer import init_train_state, make_gt_batch, make_train_step
 
     os.makedirs(args.out, exist_ok=True)
+
+    import dataclasses as dc
+
+    if yaml_cfg is not None:
+        cfg = yaml_cfg["train"]
+        if args.n_views is not None:
+            cfg = dc.replace(cfg, n_views=args.n_views)
+    else:
+        cfg = TrainConfig(n_views=args.n_views if args.n_views else 4)
 
     if args.synthetic:
         from .common import synthetic_setup
@@ -223,51 +233,32 @@ def main(argv=None):
     else:
         if not args.dataroot or not args.smpl_model:
             raise SystemExit("--dataroot and --smpl-model required (or --synthetic)")
-        from ..body.model import load_smpl_pkl, load_smplx_npz
+        from .common import real_setup
 
-        # insav_wild (GaussianAvatar-style) sequences carry SMPL-24 params in
-        # train/smpl_parms.pth (``utils/smpl.py:182-205``); images use the
-        # standard layout under <seq>/train (or <seq>).
-        insav_params = None
-        for cand in ("train/smpl_parms.pth", "smpl_parms.pth"):
-            if os.path.exists(os.path.join(args.dataroot, cand)):
-                from ..data.dataset import load_insav_smpl_params
-
-                insav_params = load_insav_smpl_params(args.dataroot)
-                break
-        img_root = args.dataroot
-        if insav_params is not None and os.path.isdir(
-            os.path.join(args.dataroot, "train", "images")
-        ):
-            img_root = os.path.join(args.dataroot, "train")
-        ds = load_sequence(img_root)
-        body = (
-            load_smpl_pkl(args.smpl_model)
-            if args.smpl_model.endswith(".pkl")
-            else load_smplx_npz(args.smpl_model)
-        )
-        field_cfg = AttributeFieldConfig()
-        gen_size = (512, 512)
-        normal_size = (512, 512)
-        smpl_params = insav_params if insav_params is not None else ds.smpl_params
-        params, model = init_avatar(
-            body,
-            {k: jnp.asarray(v) for k, v in smpl_params.items()},
+        ds, params, model = real_setup(
+            args.dataroot,
+            args.smpl_model,
             num_subdiv=args.num_subdiv,
-            field_cfg=field_cfg,
             seed=args.seed,
             distill_steps=1000,
         )
+        # Gen renders at the config resolution (reference data.width/height,
+        # 512 in every shipped YAML — previously hardcoded, so a --config
+        # with a different resolution was silently ignored); the normal
+        # supervision pass renders at the stored maps' resolution (the same
+        # grid make_gt_batch builds normal_cam for).
+        gen_size = (cfg.height, cfg.width)
+        nres = (
+            ds.normal_F.shape[1]
+            if getattr(ds, "normal_F", np.zeros(0)).size
+            else cfg.height
+        )
+        normal_size = (nres, nres)
+    resume_step = 0
     if args.resume:
-        params, start_step = load_avatar(args.resume, params)
-        print(f"resumed from {args.resume} @ step {start_step}")
+        params, resume_step = load_avatar(args.resume, params)
+        print(f"resumed from {args.resume} @ step {resume_step}")
 
-    if yaml_cfg is not None:
-        import dataclasses as dc
-
-        cfg = dc.replace(yaml_cfg["train"], n_views=args.n_views)
-    else:
-        cfg = TrainConfig(n_views=args.n_views)
     has_normals = bool(getattr(ds, "normal_F", np.zeros(0)).size)
     # FS sequences ship no back normals (empty normal_B): gate the back
     # pass + loss off like the reference's `"gt_normal_B" in batch` check.
@@ -296,8 +287,6 @@ def main(argv=None):
             )
 
     stages = {"0": [0], "1": [1], "both": [0, 1]}[args.stage]
-
-    import dataclasses as dc
 
     def _resolve_stage(st):
         stage_cfg = resolve_stage_cfg(yaml_cfg, st, args.steps)
@@ -348,7 +337,7 @@ def main(argv=None):
             text_embeddings=text_emb,
             mock=args.mock_guidance,
             image_size=args.guidance_image_size,
-            n_view=args.n_views,
+            n_view=cfg.n_views,
             dtype=jnp.bfloat16 if args.guidance_dtype == "bf16"
             else jnp.float32,
         )
@@ -386,6 +375,10 @@ def main(argv=None):
         # All frames for all stages embedded: free the 1.3 GB CLIP tower.
         base_guidance.release_image_encoder()
 
+    # Monotonic global step offset for logging across stages (a fixed
+    # it + st*n_steps overlapped/gapped when stage lengths differ — wandb
+    # drops non-monotonic rows).
+    global_step_base = 0
     for st in stages:
         stage_cfg = _resolve_stage(st)
         guidance_fn = (
@@ -515,10 +508,21 @@ def main(argv=None):
         if trace_ctx:
             trace_ctx.__enter__()
         n_steps = stage_cfg.max_steps
+        # --resume restores the step counter into the FIRST stage run
+        # (schedules / SDS warm-up / the loop continue from there instead
+        # of replaying; a fully-trained stage (saved step == max_steps)
+        # falls straight through to the next stage).  Later stages start
+        # fresh at 0 — stage handoff carries params only, matching the
+        # reference's resume: geometry_convert_from semantics.
+        start_it = min(resume_step, n_steps)
+        resume_step = 0
+        if start_it > 0:
+            state = state._replace(step=jnp.asarray(start_it, jnp.int32))
+            print(f"stage {st}: continuing from step {start_it}/{n_steps}")
         mesh_ctx.__enter__()
         state = _rep(state)
         gparams = _rep(gparams) if gparams is not None else None
-        for it in range(n_steps):
+        for it in range(start_it, n_steps):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
             with timer.phase("batch"):
@@ -547,7 +551,7 @@ def main(argv=None):
                 trace_ctx = None
             if it % args.log_every == 0 or it == n_steps - 1:
                 m = {k: round(float(v), 5) for k, v in metrics.items()}
-                logger.log(it + st * n_steps, m)
+                logger.log(global_step_base + it, m)
                 m["sec_per_step"] = round(
                     timer.summary().get("step", 0.0), 3
                 )
@@ -586,6 +590,7 @@ def main(argv=None):
         ckpt = os.path.join(args.out, f"stage{st}")
         save_avatar(ckpt, params, step=n_steps)
         print(f"saved {ckpt}")
+        global_step_base += n_steps
 
     if args.eval:
         from ..avatar import RenderSettings

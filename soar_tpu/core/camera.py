@@ -62,7 +62,10 @@ def projection_matrix(
     Mirrors ``get_projection_matrix_gaussian``
     (``renderer/gaussian_batch_renderer.py:409-436``): note P[2,2]/P[2,3] use
     the reference's (slightly non-standard) depth mapping so clip-space w is
-    the camera z.
+    the camera z.  Specifically P[2,2] = z_sign*(zfar+znear)/(zfar-znear)
+    (``:425``) — THIS repo's reference, not vanilla 3DGS's
+    zfar/(zfar-znear); clip z maps znear -> znear/(zfar-znear), used only as
+    a monotonic z-buffer key downstream.
     """
     tan_half_fovy = jnp.tan(fovy / 2.0)
     tan_half_fovx = jnp.tan(fovx / 2.0)

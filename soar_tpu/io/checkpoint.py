@@ -97,6 +97,22 @@ def import_reference_ckpt(
         import warnings
 
         warnings.warn(f"reference ckpt missing keys: {sorted(missing)}")
+    if like is not None:
+        # Shape-validate against the target pytree: a mismatched surfel
+        # count (wrong --num-subdiv / different capture) must fail HERE
+        # with field names, not as an opaque broadcast error downstream.
+        tgt = like._asdict()
+        bad = {
+            k: (v.shape, tuple(tgt[k].shape))
+            for k, v in out.items()
+            if k in tgt and v.shape != tuple(tgt[k].shape)
+        }
+        if bad:
+            raise ValueError(
+                "reference ckpt shapes do not match the built avatar "
+                f"(field: (ckpt, avatar)): {bad} — check --num-subdiv / "
+                "the capture the avatar was initialized from"
+            )
     return out
 
 

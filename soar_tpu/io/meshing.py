@@ -115,12 +115,45 @@ _TETS = np.asarray(
 )
 
 
+def _tet_case_tables():
+    """Static triangle emission per 4-bit inside mask: for each of the 14
+    active cases, a list of triangles, each a row of 3 (inside-corner,
+    outside-corner) edge pairs — the same emission order as the scalar
+    marching-tets loop this replaced (1-in fan, 3-in reversed fan, 2-in
+    quad split into two tris)."""
+    tables = {}
+    for code in range(1, 15):
+        ins = [bool((code >> k) & 1) for k in range(4)]
+        in_i = [k for k in range(4) if ins[k]]
+        out_i = [k for k in range(4) if not ins[k]]
+        if len(in_i) == 1:
+            a = in_i[0]
+            tris = [[(a, out_i[0]), (a, out_i[1]), (a, out_i[2])]]
+        elif len(in_i) == 3:
+            a = out_i[0]
+            tris = [[(in_i[2], a), (in_i[1], a), (in_i[0], a)]]
+        else:  # 2 in, 2 out -> quad -> 2 tris
+            i0, i1 = in_i
+            o0, o1 = out_i
+            e0, e1, e2, e3 = (i0, o0), (i0, o1), (i1, o1), (i1, o0)
+            tris = [[e0, e1, e2], [e0, e2, e3]]
+        tables[code] = np.asarray(tris, np.int64)  # [n_tri, 3, 2]
+    return tables
+
+
+_TET_CASES = _tet_case_tables()
+
+
 def marching_tetrahedra(
     field: np.ndarray, level: float
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Isosurface of a dense [X, Y, Z] field at ``level``.
 
     Vertices are returned in INDEX coordinates (like mcubes), faces int64.
+    Fully vectorized: active cells -> 6 tets each -> per-case batched edge
+    emission from static tables -> one ``np.unique`` over integer edge keys
+    replaces the per-edge dict dedup (the scalar loop dominated
+    ``extract_mesh`` runtime at production resolutions).
     """
     X, Y, Z = field.shape
     # Cube corner offsets in z-fastest bit order: bit0=x, bit1=y, bit2=z.
@@ -137,67 +170,53 @@ def marching_tetrahedra(
         corner_pos[..., 0], corner_pos[..., 1], corner_pos[..., 2]
     ]  # [C, 8]
 
-    verts_list = []
-    # Edge-keyed dedup across the whole grid.
-    edge_keys = {}
-    faces = []
-
-    def vid(p0, p1, v0, v1):
-        key = (tuple(p0), tuple(p1)) if tuple(p0) < tuple(p1) else (
-            tuple(p1), tuple(p0)
-        )
-        if key not in edge_keys:
-            t = (level - v0) / (v1 - v0 + 1e-12)
-            t = min(max(t, 0.0), 1.0)
-            verts_list.append(p0 + (np.asarray(p1) - p0) * t)
-            edge_keys[key] = len(verts_list) - 1
-        return edge_keys[key]
-
     inside_all = corner_val > level
     # Skip cells entirely inside/outside quickly.
     active = ~(inside_all.all(-1) | (~inside_all).all(-1))
-    act_idx = np.nonzero(active)[0]
-
-    for ci in act_idx:
-        cp = corner_pos[ci]
-        cv = corner_val[ci]
-        for tet in _TETS:
-            vals = cv[tet]
-            pos = cp[tet]
-            ins = vals > level
-            n_in = int(ins.sum())
-            if n_in == 0 or n_in == 4:
-                continue
-            in_i = np.nonzero(ins)[0]
-            out_i = np.nonzero(~ins)[0]
-            if n_in == 1:
-                a = in_i[0]
-                tri = [
-                    vid(pos[a], pos[o], vals[a], vals[o]) for o in out_i
-                ]
-                faces.append(tri)
-            elif n_in == 3:
-                a = out_i[0]
-                tri = [
-                    vid(pos[i], pos[a], vals[i], vals[a]) for i in in_i
-                ]
-                faces.append(tri[::-1])
-            else:  # 2 in, 2 out -> quad -> 2 tris
-                i0, i1 = in_i
-                o0, o1 = out_i
-                q = [
-                    vid(pos[i0], pos[o0], vals[i0], vals[o0]),
-                    vid(pos[i0], pos[o1], vals[i0], vals[o1]),
-                    vid(pos[i1], pos[o1], vals[i1], vals[o1]),
-                    vid(pos[i1], pos[o0], vals[i1], vals[o0]),
-                ]
-                faces.append([q[0], q[1], q[2]])
-                faces.append([q[0], q[2], q[3]])
-
-    if not faces:
+    act = np.nonzero(active)[0]
+    if len(act) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-    verts_np = np.asarray(verts_list, np.float32)
-    faces_np = np.asarray(faces, np.int64)
+
+    # All tets of all active cells: positions [T, 4, 3], values [T, 4].
+    tp = corner_pos[act][:, _TETS].reshape(-1, 4, 3)
+    tv = corner_val[act][:, _TETS].reshape(-1, 4)
+    code = (tv > level) @ np.asarray([1, 2, 4, 8])  # [T] 4-bit inside mask
+
+    # Per-case batched emission: edge endpoints as (inside, outside) corner
+    # positions/values, grouped in rows of 3 (one face per row).
+    p_in, p_out, v_in, v_out = [], [], [], []
+    for c, tris in _TET_CASES.items():
+        sel = np.nonzero(code == c)[0]
+        if len(sel) == 0:
+            continue
+        for tri in tris:  # tri: [3, 2] (in_corner, out_corner)
+            p_in.append(tp[sel][:, tri[:, 0]])  # [S, 3, 3]
+            p_out.append(tp[sel][:, tri[:, 1]])
+            v_in.append(tv[sel][:, tri[:, 0]])  # [S, 3]
+            v_out.append(tv[sel][:, tri[:, 1]])
+    if not p_in:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    p_in = np.concatenate(p_in).reshape(-1, 3)  # [3*F, 3] lattice points
+    p_out = np.concatenate(p_out).reshape(-1, 3)
+    v_in = np.concatenate(v_in).reshape(-1)
+    v_out = np.concatenate(v_out).reshape(-1)
+
+    # Dedup edges by integer lattice-endpoint key (order-canonicalized).
+    # Every tet sharing an edge classifies its endpoints identically
+    # (inside-ness is a property of the field values), so the interpolated
+    # vertex is the same for every occurrence — keep the first.
+    NV = X * Y * Z
+    id_in = (p_in[:, 0] * Y + p_in[:, 1]) * Z + p_in[:, 2]
+    id_out = (p_out[:, 0] * Y + p_out[:, 1]) * Z + p_out[:, 2]
+    key = np.minimum(id_in, id_out) * NV + np.maximum(id_in, id_out)
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+
+    t = (level - v_in[first]) / (v_out[first] - v_in[first] + 1e-12)
+    t = np.clip(t, 0.0, 1.0)[:, None]
+    verts_np = (
+        p_in[first] + (p_out[first] - p_in[first]) * t
+    ).astype(np.float32)
+    faces_np = inv.reshape(-1, 3).astype(np.int64)
     # Consistent outward winding: the 6-tet cube decomposition has mixed
     # parity, so per-tet case emission alone leaves ~half the faces flipped.
     # Orient every face against the field gradient at its centroid (the
@@ -270,18 +289,39 @@ def extract_mesh(
     density_thresh: float = 0.8,
     resolution: int = 128,
     decimate_target: int = 100000,
+    scales=None,
+    opacities=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full pipeline (``gaussian_io.py:268-292``): density field ->
-    isosurface -> clean -> decimate; vertices mapped back to world space."""
+    isosurface -> clean -> decimate; vertices mapped back to world space.
+
+    By default the density reads the EXPLICIT scaling/opacity logits —
+    exactly what the reference's ``extract_fields`` does via
+    ``get_scaling``/``get_opacity`` (``gaussian_io.py:184-191``).  Note the
+    reference quirk this inherits: SOAR's field-driven training renders
+    with field scales and opacity forced to 1
+    (``diff_gaussian_rasterizer.py:88-102, 259``), so those explicit
+    tensors stay at their init values and the exported isosurface reflects
+    init-time attributes.  Pass ``scales`` [N, 1|3] (linear) and
+    ``opacities`` [N] (0..1) — e.g. ``query_attributes`` outputs — to
+    export from what the trained avatar actually renders."""
     from ..avatar import state as S
 
+    if scales is None:
+        scales = np.asarray(S.get_scaling(params))
+    else:
+        scales = np.asarray(scales)
+    if scales.shape[-1] == 1:
+        scales = scales.repeat(3, axis=-1)
+    if opacities is None:
+        opacities = np.asarray(S.get_opacity(params))[:, 0]
+    else:
+        opacities = np.asarray(opacities).reshape(-1)
     occ, center, scale = extract_density_field(
         np.asarray(params.xyz),
-        np.asarray(S.get_scaling(params)).repeat(3, axis=-1)[:, :3]
-        if params.scaling.shape[-1] == 1
-        else np.asarray(S.get_scaling(params)),
+        scales[:, :3],
         np.asarray(S.get_rotation(params)),
-        np.asarray(S.get_opacity(params))[:, 0],
+        opacities,
         resolution=resolution,
     )
     verts, faces = marching_tetrahedra(occ, density_thresh)

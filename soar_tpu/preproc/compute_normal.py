@@ -167,6 +167,15 @@ def main(argv=None):
             jnp.asarray(verts_all[i]), body.faces, w2c, jnp.asarray(proj_b), crop_wh
         )
 
+        for tag, out in (("front", front), ("back", back)):
+            capped = int(np.asarray(out["overflow"])[1])
+            if capped:
+                print(
+                    f"[compute_normal] WARNING frame {i} {tag}: {capped} "
+                    "faces exceeded the rasterizer's dup_side tile grid "
+                    "(holes possible) — raise render_mesh dup_side"
+                )
+
         t_f = (np.asarray(front["normal"]) * 2 - 1) * np.asarray(front["mask"])
         t_b = (np.asarray(back["normal"]) * 2 - 1) * np.asarray(back["mask"])
 

@@ -26,6 +26,8 @@ import numpy as np
 import optax
 
 from ..body.model import BodyModel, smplx_forward
+from ..core.transforms import rotmat_to_rotvec  # noqa: F401  (re-export:
+# historical home of the hardened log map; tests + callers import it here)
 
 
 # --- rotation parameterizations (``preproc/utils.py:156-167``) -------------
@@ -42,68 +44,6 @@ def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
 
 def matrix_to_rotation_6d(R: jnp.ndarray) -> jnp.ndarray:
     return R[..., :2, :].reshape(R.shape[:-2] + (6,))
-
-
-def rotmat_to_rotvec(R: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Matrix -> axis-angle, exact at every angle including pi.
-
-    The naive log map (axis from the skew part / 2 sin(angle)) degenerates
-    as angle -> pi because the skew part itself vanishes; a camera-facing
-    person's ``global_orient`` is conventionally ~pi about x, so that
-    failure mode corrupts real SMPLify inputs. Route through a unit
-    quaternion instead: build all four diagonal-dominant quaternion
-    candidates (each stable on its own region), select the numerically
-    largest branchlessly, then ``2 * atan2(|v|, w)`` for the angle.
-    """
-    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
-    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
-    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
-    tr = m00 + m11 + m22
-    # 4x the squared quaternion components (clamped against rounding).
-    comp2 = jnp.stack(
-        [
-            jnp.maximum(1.0 + tr, 0.0),
-            jnp.maximum(1.0 + m00 - m11 - m22, 0.0),
-            jnp.maximum(1.0 - m00 + m11 - m22, 0.0),
-            jnp.maximum(1.0 - m00 - m11 + m22, 0.0),
-        ],
-        axis=-1,
-    )
-    S = 2.0 * jnp.sqrt(comp2 + eps)  # [..., 4]
-    s_w, s_x, s_y, s_z = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
-    cands = jnp.stack(
-        [
-            jnp.stack(
-                [0.25 * s_w, (m21 - m12) / s_w, (m02 - m20) / s_w, (m10 - m01) / s_w],
-                axis=-1,
-            ),
-            jnp.stack(
-                [(m21 - m12) / s_x, 0.25 * s_x, (m01 + m10) / s_x, (m02 + m20) / s_x],
-                axis=-1,
-            ),
-            jnp.stack(
-                [(m02 - m20) / s_y, (m01 + m10) / s_y, 0.25 * s_y, (m12 + m21) / s_y],
-                axis=-1,
-            ),
-            jnp.stack(
-                [(m10 - m01) / s_z, (m02 + m20) / s_z, (m12 + m21) / s_z, 0.25 * s_z],
-                axis=-1,
-            ),
-        ],
-        axis=-2,
-    )  # [..., 4 candidates, 4 wxyz]
-    pick = jnp.argmax(comp2, axis=-1)
-    q = jnp.take_along_axis(cands, pick[..., None, None], axis=-2)[..., 0, :]
-    q = q * jnp.sign(jnp.where(q[..., :1] == 0.0, 1.0, q[..., :1]))  # w >= 0
-    # Double-where so the |v| -> 0 branch has a finite gradient (sqrt at 0
-    # inside an unselected where branch still back-propagates NaN).
-    v2 = jnp.sum(q[..., 1:] ** 2, axis=-1)
-    small = v2 < 1e-12
-    vnorm = jnp.sqrt(jnp.where(small, 1.0, v2))
-    angle = 2.0 * jnp.arctan2(jnp.where(small, 0.0, vnorm), q[..., 0])
-    # angle/|v| -> 2/w as |v| -> 0.
-    scale = jnp.where(small, 2.0 / jnp.maximum(q[..., 0], 1e-6), angle / vnorm)
-    return q[..., 1:] * scale[..., None]
 
 
 def gmof(x: jnp.ndarray, sigma: float) -> jnp.ndarray:

@@ -26,6 +26,14 @@ import jax
 import jax.numpy as jnp
 
 from ..core.camera import ndc2pix, projection_matrix
+from .tilegrid import (
+    cdiv,
+    depth_bits_for,
+    quantize_depth,
+    slot_tiles,
+    tile_ranges,
+    untile as _untile,
+)
 
 
 def get_proj_mat(
@@ -64,7 +72,7 @@ def render_mesh(
     dup_side: int = 8,
 ) -> Dict[str, jnp.ndarray]:
     W, H = img_wh
-    ntx, nty = -(-W // tile), -(-H // tile)
+    ntx, nty = cdiv(W, tile), cdiv(H, tile)
     NT = ntx * nty
     F = faces.shape[0]
 
@@ -102,29 +110,46 @@ def render_mesh(
     ).astype(jnp.int32)
 
     S = dup_side
-    dxy = jnp.arange(S, dtype=jnp.int32)
-    dx = jnp.tile(dxy, S)
-    dy = jnp.repeat(dxy, S)
-    tx = min_x[:, None] + dx[None, :]
-    ty = min_y[:, None] + dy[None, :]
-    slot_ok = (tx < max_x[:, None]) & (ty < max_y[:, None]) & valid[:, None]
-    tile_id = jnp.where(slot_ok, ty * ntx + tx, NT).astype(jnp.int32)
+    tile_id = slot_tiles(S, min_x, min_y, max_x, max_y, valid, ntx, NT)
 
+    # Pack (tile, z-key) so the within-tile order is NEAREST-first (by the
+    # same vkey the arg-min z-test uses — under the flipped back-surface
+    # projection vkey is negated, so truncation then keeps the FARTHEST
+    # faces, exactly the ones that pass's arg-min needs).  Without depth in
+    # the key the first-K gather kept the lowest-INDEX faces — an arbitrary
+    # subset that silently corrupted the z-buffer wherever a tile binned
+    # more than max_per_tile faces (dense SMPL-X head/hand regions at
+    # bbox-crop resolution).
+    depth_bits = depth_bits_for(NT)
+    face_key = jnp.min(jnp.where(valid[:, None], pk, jnp.inf), axis=-1)
+    dq = quantize_depth(face_key, valid, depth_bits)
+    key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[:, None]
     face_idx = jnp.broadcast_to(
         jnp.arange(F, dtype=jnp.int32)[:, None], (F, S * S)
     )
-    sorted_tile, sorted_idx = jax.lax.sort(
-        (tile_id.reshape(-1), face_idx.reshape(-1)), num_keys=1
+    sorted_key, sorted_idx = jax.lax.sort_key_val(
+        key.reshape(-1), face_idx.reshape(-1)
     )
-    boundaries = jnp.arange(NT, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, boundaries, side="left")
-    counts = jnp.searchsorted(sorted_tile, boundaries, side="right") - starts
+    sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
+    starts, counts = tile_ranges(sorted_tile, NT)
 
     K = max_per_tile
     k_ar = jnp.arange(K, dtype=jnp.int32)
     entry = jnp.minimum(starts[:, None] + k_ar[None, :], sorted_idx.shape[0] - 1)
     slot_valid = k_ar[None, :] < jnp.minimum(counts, K)[:, None]
     gidx = sorted_idx[entry]  # [NT, K]
+
+    # Capacity canaries (mirrors ``tiled.bin_and_sort``): "dropped" counts
+    # per-tile entries past K — with nearest-first ordering these are the
+    # FARTHEST faces, which the arg-min z-test ignores, so moderate counts
+    # are benign for the front pass and symmetric for the flipped back
+    # pass; "capped" counts faces whose bbox exceeded the dup_side grid
+    # (real holes — raise dup_side).
+    dropped = jnp.sum(jnp.maximum(counts - K, 0))
+    capped = jnp.sum(
+        (((max_x - min_x) > S) | ((max_y - min_y) > S)) & valid
+    )
+    overflow = jnp.stack([dropped, capped]).astype(jnp.int32)
 
     gx = px[gidx]  # [NT, K, 3]
     gy = py[gidx]
@@ -201,12 +226,12 @@ def render_mesh(
     )
 
     def untile(img_flat, ch):
-        img = img_flat.reshape(nty, ntx, tile, tile, ch)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, ch)
-        return img[:H, :W]
+        return _untile(img_flat, ch, ntx, nty, tile, H, W)
 
     return {
         "normal": untile(normal, 3),
         "mask": untile(hit[..., None].astype(jnp.float32), 1),
         "depth": untile(depth_out[..., None], 1)[..., 0],
+        # [2] int32 (dropped-past-K, bbox-capped) — see canary comment above.
+        "overflow": overflow,
     }

@@ -65,11 +65,11 @@ def _make_kernel(tile, alpha_clamp, alpha_min, t_min, perpix_depth):
         )
 
         def cond(state):
-            k, T, *_ = state
-            return jnp.logical_and(k < count, jnp.max(T) >= t_min)
+            k, done, *_ = state
+            return jnp.logical_and(k < count, jnp.any(jnp.logical_not(done)))
 
         def body(state):
-            k, T, Cr, Cg, Cb, Nx, Ny, Nz, D = state
+            k, done, T, Cr, Cg, Cb, Nx, Ny, Nz, D = state
             dx = xy_ref[0, k, 0] - pxf
             dy = xy_ref[0, k, 1] - pyf
             a = conic_ref[0, k, 0]
@@ -82,7 +82,13 @@ def _make_kernel(tile, alpha_clamp, alpha_min, t_min, perpix_depth):
             )
             alpha = jnp.where((power <= 0.0) & (alpha >= alpha_min), alpha, 0.0)
             test_T = T * (1.0 - alpha)
-            ok = test_T >= t_min
+            # STICKY per-pixel early stop (``forward.cu:548-552`` done=true):
+            # the first splat that would push T below t_min contributes
+            # nothing, and neither does ANY splat behind it — a later
+            # low-alpha splat must not re-pass the test (matches the
+            # cumsum-exclusion in composite.composite_weights).
+            ok = (test_T >= t_min) & jnp.logical_not(done)
+            done = done | (test_T < t_min)
             alpha = jnp.where(ok, alpha, 0.0)
             w = alpha * T
 
@@ -103,12 +109,13 @@ def _make_kernel(tile, alpha_clamp, alpha_min, t_min, perpix_depth):
             Nz = Nz + w * normal_ref[0, k, 2]
             D = D + w * d_px
             T = jnp.where(ok, test_T, T)
-            return k + 1, T, Cr, Cg, Cb, Nx, Ny, Nz, D
+            return k + 1, done, T, Cr, Cg, Cb, Nx, Ny, Nz, D
 
         z = jnp.zeros((tile, tile), jnp.float32)
         T0 = jnp.ones((tile, tile), jnp.float32)
-        _, T, Cr, Cg, Cb, Nx, Ny, Nz, D = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), T0, z, z, z, z, z, z, z)
+        done0 = jnp.zeros((tile, tile), jnp.bool_)
+        _, _, T, Cr, Cg, Cb, Nx, Ny, Nz, D = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), done0, T0, z, z, z, z, z, z, z)
         )
         color_out[0, 0] = Cr
         color_out[0, 1] = Cg

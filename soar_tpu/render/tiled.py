@@ -32,11 +32,15 @@ from jax.ad_checkpoint import checkpoint_name
 from ..core.camera import Camera
 from .composite import composite_weights, finalize, splat_alpha
 from .preprocess import preprocess
+from .tilegrid import (
+    cdiv as _cdiv,
+    depth_bits_for,
+    quantize_depth,
+    slot_tiles as _slot_tiles,
+    tile_ranges,
+)
+from .tilegrid import untile as _untile
 from .types import GaussianInputs, Preprocessed, RasterConfig, RenderOutputs
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 def bin_and_sort(
@@ -99,13 +103,7 @@ def bin_and_sort(
         in_fat = jnp.ones((N,), bool)
 
     def slot_tiles(side, mnx, mny, mxx, mxy, ok_row):
-        dxy = jnp.arange(side, dtype=jnp.int32)
-        dx = jnp.tile(dxy, side)  # [side*side]
-        dy = jnp.repeat(dxy, side)
-        tx = mnx[:, None] + dx[None, :]
-        ty = mny[:, None] + dy[None, :]
-        ok = (tx < mxx[:, None]) & (ty < mxy[:, None]) & ok_row[:, None]
-        return jnp.where(ok, ty * ntx + tx, NT).astype(jnp.int32)
+        return _slot_tiles(side, mnx, mny, mxx, mxy, ok_row, ntx, NT)
 
     if two_tier:
         tile_small = slot_tiles(
@@ -125,24 +123,12 @@ def bin_and_sort(
             S, rect_min_x, rect_min_y, rect_max_x, rect_max_y, pre.valid
         )
 
-    # Pack (tile, depth) into ONE uint32 sort key — the XLA-TPU backend
-    # compiles multi-operand lexicographic sorts ~3x slower, and this sort is
-    # the single largest compile-time item in the whole pipeline.  Depth is
-    # quantized to the remaining bits over the frame's [min, max] range;
-    # quantization ties only permute (near-)equal-depth splats, which alpha
-    # compositing is insensitive to.
-    tile_bits = max(int(NT + 1).bit_length(), 1)
-    depth_bits = 32 - tile_bits
+    # Pack (tile, depth) into ONE uint32 sort key (``tilegrid.depth_bits_for``
+    # rationale) — this sort is the single largest compile-time item in the
+    # whole pipeline.
+    depth_bits = depth_bits_for(NT)
     depth_key = -pre.depth if cfg.sort_descending else pre.depth
-    dmin = jnp.min(jnp.where(pre.valid, depth_key, jnp.inf))
-    dmax = jnp.max(jnp.where(pre.valid, depth_key, -jnp.inf))
-    span = jnp.maximum(dmax - dmin, 1e-8)
-    # Clamp AFTER the integer cast: f32 rounds 2^db - 1 up to 2^db for
-    # db > 24, which would overflow the depth field into the tile bits.
-    dq = jnp.maximum(
-        (depth_key - dmin) / span * (2.0**depth_bits - 1.0), 0.0
-    ).astype(jnp.uint32)
-    dq = jnp.minimum(dq, jnp.uint32(2**depth_bits - 1))
+    dq = quantize_depth(depth_key, pre.valid, depth_bits)
 
     ids = jnp.arange(N, dtype=jnp.int32)
     key_fat = (
@@ -164,11 +150,7 @@ def bin_and_sort(
 
     sorted_key, sorted_idx = jax.lax.sort_key_val(key, surfel_idx)
     sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
-
-    boundaries = jnp.arange(NT, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, boundaries, side="left")
-    ends = jnp.searchsorted(sorted_tile, boundaries, side="right")
-    counts = (ends - starts).astype(jnp.int32)
+    starts, counts = tile_ranges(sorted_tile, NT)
 
     # Capacity diagnostics (cheap reductions): splats past max_per_tile are
     # silently dropped by the first-K gather, and surfels touching more than
@@ -187,7 +169,7 @@ def bin_and_sort(
         jnp.where(in_fat, wide_fat, wide_small) & pre.valid
     )
     overflow = jnp.stack([dropped, capped]).astype(jnp.int32)
-    return sorted_idx, starts.astype(jnp.int32), counts, (ntx, nty), overflow
+    return sorted_idx, starts, counts, (ntx, nty), overflow
 
 
 @partial(
@@ -347,9 +329,7 @@ def _rasterize_core(
     )  # [NT, P, 2]
 
     def untile(img_flat, ch):
-        img = img_flat.reshape(nty, ntx, tile, tile, ch)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(nty * tile, ntx * tile, ch)
-        return img[:H, :W]
+        return _untile(img_flat, ch, ntx, nty, tile, H, W)
 
     bg = jnp.asarray(bg_color)
 

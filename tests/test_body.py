@@ -211,6 +211,23 @@ def test_smplx_full_tail_body_pose():
     }
     out_seg = smplx_forward(body, seg)
     assert out_seg.vertices.shape[0] == 4
+    # A standard [B, 63] body_pose whose batch is a multiple of 18 has
+    # size divisible by 162 — layout must be judged per-item (trailing
+    # shape), not by total-size divisibility (review repro: an 18/36/90-
+    # frame capture batch crashed in the full-tail reshape).
+    b18 = {
+        "betas": jnp.zeros((1, 10)),
+        "global_orient": jnp.zeros((18, 3)),
+        "body_pose": jnp.zeros((18, 63)),
+        "transl": jnp.zeros((18, 3)),
+    }
+    out18 = smplx_forward(body, b18)
+    assert out18.vertices.shape[0] == 18
+    fp18 = assemble_smplx_pose(b18, 18, 55)
+    assert fp18.shape == (18, 165)
+    # ...and the per-joint [B, 54, 3] full-tail form still routes full-tail.
+    tail3d = dict(b18, body_pose=jnp.zeros((18, 54, 3)))
+    assert assemble_smplx_pose(tail3d, 18, 55).shape == (18, 165)
 
 
 def test_knn_idw_weights_matches_bruteforce():

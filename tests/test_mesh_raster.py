@@ -73,3 +73,59 @@ def test_body_mesh_render():
     # -> dot with view dir negative): encoded z < 0.5 on hit pixels.
     nz = np.asarray(out["normal"])[..., 2]
     assert (nz[mask > 0.5] < 0.5).mean() > 0.9
+
+
+def test_truncation_keeps_nearest_faces():
+    """When a tile bins more than max_per_tile faces, the first-K gather must
+    keep the NEAREST ones (regression: tile-only sort kept the lowest-INDEX
+    faces, so a late-indexed near face lost the z-test entirely).  Stack 12
+    parallel quads over the same pixels with the nearest LAST in face order
+    and max_per_tile=8."""
+    W = H = 16
+    K = make_K(16.0, W, H)
+    w2c = jnp.eye(4)
+    n_layers, v, f = 12, [], []
+    for i in range(n_layers):
+        # Far-to-near as index grows: z = 5.0 ... 1.7 (nearest is LAST).
+        # One oversized triangle per layer (a quad's diagonal seam can
+        # drop isolated pixels to the next layer by float rounding).
+        z = 5.0 - 0.3 * i
+        b = len(v)
+        v += [[-8.0, -8.0, z], [8.0, -8.0, z], [0.0, 12.0, z]]
+        f += [[b, b + 1, b + 2]]
+    verts = jnp.asarray(v, jnp.float32)
+    faces = jnp.asarray(f, jnp.int32)
+    proj = get_proj_mat(K, (W, H))
+    out = render_mesh(verts, faces, w2c, proj, (W, H), max_per_tile=8)
+    d = np.asarray(out["depth"])
+    mask = np.asarray(out["mask"])[..., 0]
+    z_near = 5.0 - 0.3 * (n_layers - 1)
+    np.testing.assert_allclose(d[mask > 0.5], z_near, atol=1e-3)
+    # The canary reports the dropped (farthest) entries.
+    ov = np.asarray(out["overflow"])
+    assert ov[0] > 0 and ov[1] == 0
+
+
+def test_back_surface_truncation_keeps_farthest():
+    """Same stack under the flipped-projection far-surface trick
+    (``compute_normal.py:176``): truncation must keep the FARTHEST faces."""
+    W = H = 16
+    K = make_K(16.0, W, H)
+    w2c = jnp.eye(4)
+    n_layers, v, f = 12, [], []
+    for i in range(n_layers):
+        # Near-to-far as index grows: the farthest is LAST in face order.
+        z = 1.7 + 0.3 * i
+        b = len(v)
+        v += [[-8.0, -8.0, z], [8.0, -8.0, z], [0.0, 12.0, z]]
+        f += [[b, b + 1, b + 2]]
+    verts = jnp.asarray(v, jnp.float32)
+    faces = jnp.asarray(f, jnp.int32)
+    proj = np.array(get_proj_mat(K, (W, H)))
+    proj[2] *= -1.0
+    out = render_mesh(verts, faces, w2c, jnp.asarray(proj), (W, H),
+                      max_per_tile=8)
+    d = np.asarray(out["depth"])
+    mask = np.asarray(out["mask"])[..., 0]
+    z_far = 1.7 + 0.3 * (n_layers - 1)
+    np.testing.assert_allclose(d[mask > 0.5], z_far, atol=1e-3)

@@ -71,6 +71,42 @@ def test_pallas_matches_xla_composite():
         np.testing.assert_allclose(g, r, atol=1e-4, err_msg=name)
 
 
+def test_pallas_early_stop_is_sticky():
+    """A splat that would push T below t_min ends the pixel PERMANENTLY
+    (``forward.cu:548-552`` done=true): a later low-alpha splat must not
+    re-pass the transmittance test.  Crafted stack: several near-opaque
+    splats drive T to ~1e-4-adjacent, then a violator, then a weak splat
+    that would pass a non-sticky test."""
+    NT, K, tile = 1, 8, 16
+    origins = np.zeros((1, 2), np.int32)
+    xy = np.full((NT, K, 2), tile / 2.0, np.float32)  # all centered
+    conic = np.zeros((NT, K, 3), np.float32)
+    conic[..., 0] = conic[..., 2] = 1e-4  # ~flat over the tile
+    # T walk: 1 -> 0.01 (alpha clamped 0.99) -> 0.005 -> VIOLATE (0.005 *
+    # 0.01 = 5e-5 < 1e-4, done) -> the 0.5 splat behind it would give
+    # test_T = 2.5e-3 >= t_min and re-pass a NON-sticky test with weight
+    # ~2.5e-3 (>> atol); sticky semantics composite nothing after the
+    # violator.
+    opac = np.array(
+        [[0.999, 0.5, 0.999, 0.5, 0.3, 0.2, 0.1, 0.05]], np.float32
+    )
+    colors = np.ones((NT, K, 3), np.float32)
+    normals = np.ones((NT, K, 3), np.float32)
+    depths = np.arange(1, K + 1, dtype=np.float32)[None].repeat(NT, 0)
+    jinv = np.zeros((NT, K, 10), np.float32)
+    slot_valid = np.ones((NT, K), bool)
+    counts = np.full((NT,), K, np.int32)
+    data = tuple(
+        jnp.asarray(a)
+        for a in (xy, conic, opac, colors, normals, depths, jinv,
+                  slot_valid, counts, origins)
+    )
+    ref = xla_reference(*data)
+    got = composite_tiles_pallas(*data, tile=16, interpret=True)
+    for g, r, name in zip(got, ref, ("color", "normal", "depth", "T")):
+        np.testing.assert_allclose(g, r, atol=1e-6, err_msg=name)
+
+
 def test_pallas_respects_counts():
     data = list(make_gathered(seed=1))
     data[8] = jnp.asarray([3, 0, 16, 16], jnp.int32)  # per-tile counts
