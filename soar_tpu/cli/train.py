@@ -499,6 +499,14 @@ def main(argv=None):
 
         key = jax.random.PRNGKey(args.seed + st)
         rng = np.random.RandomState(args.seed + st)
+        # Per-frame GT batches are immutable after load — cache the device
+        # arrays (LRU-capped: ~5 MB/frame at 512px, so a long monocular
+        # capture must not pin GBs of HBM) instead of re-uploading
+        # identical tensors every step.
+        from collections import OrderedDict
+
+        batch_cache = OrderedDict()
+        BATCH_CACHE_MAX = 32
         t0 = time.time()
         trace_ctx = (
             profile_trace(os.path.join(args.out, "trace"))
@@ -526,10 +534,19 @@ def main(argv=None):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
             with timer.phase("batch"):
-                batch = make_gt_batch(ds, model, frame)
-                if ip_table is not None:
-                    batch["ref_ip"] = jnp.asarray(ip_table[frame])
-                batch = _rep(batch)
+                base = batch_cache.get(frame)
+                if base is None:
+                    base = make_gt_batch(ds, model, frame)
+                    if ip_table is not None:
+                        base["ref_ip"] = jnp.asarray(ip_table[frame])
+                    base = _rep(base)
+                    batch_cache[frame] = base
+                    if len(batch_cache) > BATCH_CACHE_MAX:
+                        batch_cache.popitem(last=False)
+                else:
+                    batch_cache.move_to_end(frame)
+                # Shallow copy: the loop adds per-step keys (sds_target).
+                batch = dict(base)
             with timer.phase("step"):
                 warm = warm_step_fn is not None and it <= stage_cfg.sds_start
                 if prelude_fn is not None and not warm:

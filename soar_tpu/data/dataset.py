@@ -268,8 +268,15 @@ def load_sequence(dataroot: str) -> AvatarDataset:
 def circle_poses(
     radius: np.ndarray, theta_deg: np.ndarray, phi_deg: np.ndarray
 ) -> np.ndarray:
-    """Camera-to-world poses on a sphere (FS dataset camera rig,
-    ``uncond_multiview.py:1380``): OpenGL look-at toward the origin, up +y."""
+    """Camera-to-world poses on a sphere — the FS dataset camera rig,
+    reproduced EXACTLY from ``uncond_multiview.py:2387-2413``.
+
+    Faithful quirk: the reference builds ``right = cross(forward, up)``
+    with forward pointing FROM the origin TO the camera, which is the
+    NEGATIVE of the proper OpenGL right vector — every frame has det = -1
+    (a world x-mirror).  The FS GT images follow this convention, so a
+    proper look-at here would render every view horizontally mirrored
+    against its GT (left side supervised by the GT's right side)."""
     th = np.deg2rad(theta_deg)
     ph = np.deg2rad(phi_deg)
     pos = np.stack(
@@ -282,13 +289,14 @@ def circle_poses(
     )
     c2ws = []
     for p in pos:
-        z = -p / np.linalg.norm(p)
+        forward = p / np.linalg.norm(p)  # c2w z-column (camera looks -z)
         up = np.array([0.0, 1.0, 0.0])
-        x = np.cross(z, up)
-        x = x / max(np.linalg.norm(x), 1e-8)
-        y = np.cross(x, z)
+        right = np.cross(forward, up)  # NOTE reference order: improper
+        right = right / max(np.linalg.norm(right), 1e-8)
+        up2 = np.cross(right, forward)
+        up2 = up2 / max(np.linalg.norm(up2), 1e-8)
         c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, :3] = np.stack([x, y, -z], -1)
+        c2w[:3, :3] = np.stack([right, up2, forward], -1)
         c2w[:3, 3] = p
         c2ws.append(c2w)
     return np.stack(c2ws)
@@ -334,7 +342,10 @@ def load_fs_sequence(
 
     images = np.stack(imgs)
     H, W = images.shape[1:3]
-    phis = np.arange(F) / F * 360.0
+    # NEGATIVE azimuth steps, matching the reference's rig exactly
+    # (``range(0, -360, -45)`` at F=8, ``uncond_multiview.py:1376``) —
+    # positive stepping puts every held-out view at the wrong azimuth.
+    phis = -np.arange(F) / F * 360.0
     c2w = circle_poses(
         np.full(F, radius), np.full(F, theta_deg), phis
     )

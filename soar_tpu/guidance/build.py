@@ -142,7 +142,10 @@ def load_guidance_checkpoint(path: str, shapes: NetworkShapes) -> Dict:
     MVDream/ImageDream ``LatentDiffusion`` wrapper."""
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    # weights_only=False: MVDream/ImageDream checkpoints carry pickled
+    # non-tensor objects (configs, Lightning metadata) that torch>=2.6's
+    # weights_only default rejects.
+    sd = torch.load(path, map_location="cpu", weights_only=False)
     if "state_dict" in sd:
         sd = sd["state_dict"]
     sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}

@@ -118,7 +118,13 @@ class TrainConfig:
     zoom_range: Tuple[float, float] = (1.0, 1.0)
     relative_radius: bool = True
     invert_bg_prob: float = 0.5
-    head_prob: float = 0.4  # close-up camera probability (system :91)
+    # Close-up "head" camera probability.  0.4 is the reference system's
+    # head_p (``gaussian_surfel_mvdream.py:91``) — but NOTE the reference's
+    # surfel renderer swallows head_flag/head_c2w in **kwargs, so its
+    # EFFECTIVE training never renders them; here the documented intent is
+    # implemented (VERDICT r1 item 7).  Set 0.0 to reproduce the
+    # reference's effective gen-view distribution exactly.
+    head_prob: float = 0.4
     optim: OptimConfig = OptimConfig()
     stage0: StageConfig = StageConfig()
     stage1: StageConfig = stage1_config()

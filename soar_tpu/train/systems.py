@@ -105,6 +105,10 @@ def make_gaussiandreamer_step(
         w = cfg.loss
 
         sds = guidance_fn(out["render"], c2w=c2w, key=k_g, step=step)
+        if isinstance(sds, dict):
+            # build_guidance closures return {"loss_sds": ..., ...} like
+            # the SOAR trainer consumes; plain callables return a scalar.
+            sds = sds["loss_sds"]
         loss = loss + scheduled(w.sds, step) * sds
         metrics["loss_sds"] = sds
 

@@ -371,28 +371,42 @@ def make_train_step(
             if lpips_fn is not None:
                 # masked-normal LPIPS, coefficient 1 inside the normal
                 # lambdas (``gaussian_surfel_mvdream.py:342-393``): inputs
-                # are [0,1] normals times the normal mask, shifted to [-1,1].
-                nm = batch["gt_normal_mask"][..., None]
+                # are [0,1] normals times the normal mask, shifted to
+                # [-1,1].  Reference quirk kept exactly: the FRONT pass
+                # multiplies by the raw float alpha mask, the BACK pass by
+                # the BINARIZED mask (``normal_mask_float = (mask >
+                # 1e-5).float()``, ``:364,377-387``) — they differ at
+                # fractional silhouette-edge alphas.
+                nm_raw = batch["gt_normal_mask"][..., None]
+                nm_bin = nmask[..., None].astype(nm_raw.dtype)
 
-                def nlp(pred01, gt01):
+                def nlp(pred01, gt01, nm):
                     return lpips_fn(
                         (pred01 * nm - 0.5) * 2.0, (gt01 * nm - 0.5) * 2.0
                     )
 
-                loss_nF = loss_nF + nlp(gt_nF["normal"], batch["gt_normal_F"])
+                loss_nF = loss_nF + nlp(
+                    gt_nF["normal"], batch["gt_normal_F"], nm_raw
+                )
                 if use_nB:
-                    loss_nB = loss_nB + nlp(gt_nB["normal"], batch["gt_normal_B"])
+                    loss_nB = loss_nB + nlp(
+                        gt_nB["normal"], batch["gt_normal_B"], nm_bin
+                    )
             loss = loss + C(w.normal_F) * loss_nF
             metrics["loss_normal_F"] = loss_nF
             if use_nB:
                 loss = loss + C(w.normal_B) * loss_nB
                 metrics["loss_normal_B"] = loss_nB
 
-            loss_nmask = jnp.mean(
-                jnp.abs(gt_nF["mask"] - batch["gt_normal_mask"])
-            )
-            loss = loss + C(w.normal_mask) * loss_nmask
-            metrics["loss_normal_mask"] = loss_nmask
+                # normal-mask supervision is NESTED inside the reference's
+                # ``lambda_normal_B > 0 and "gt_normal_B" in batch`` branch
+                # (``gaussian_surfel_mvdream.py:394-399``): FS runs (which
+                # zero lambda_normal_B) compute NO normal-mask loss.
+                loss_nmask = jnp.mean(
+                    jnp.abs(gt_nF["mask"] - batch["gt_normal_mask"])
+                )
+                loss = loss + C(w.normal_mask) * loss_nmask
+                metrics["loss_normal_mask"] = loss_nmask
 
         # VGG/LPIPS RGB loss, lambda_vgg > 0 only in the _fs configs
         # (``gaussian_surfel_mvdream.py:401-410``).  Deviation: the reference

@@ -46,6 +46,11 @@ def load_yaml_config(path: str) -> Dict[str, Any]:
         if theirs in loss:
             weights = dataclasses.replace(weights, **{ours: _sched(loss[theirs])})
 
+    # NOTE deliberately NOT aliased: the YAMLs set ``scale_lr``, but the
+    # reference optimizer reads ``training_args.scaling_lr``
+    # (``surfel_base.py:650``) — a dead config knob, so the surfel scaling
+    # LR is always the scaling_lr default.  Mapping scale_lr here would
+    # diverge from what the reference actually trains with.
     optim = OptimConfig(
         **{
             f.name: float(geometry[f.name])

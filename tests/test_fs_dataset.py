@@ -17,6 +17,28 @@ def test_circle_poses_look_at_origin():
         np.testing.assert_allclose(fwd, to_origin, atol=1e-5)
 
 
+def test_circle_poses_reference_rig_exactly():
+    """Pin the reference construction (``uncond_multiview.py:2399-2413``):
+    right = cross(forward, up) with forward = normalize(center) — an
+    IMPROPER frame (det -1, the world x-mirror the FS GT images follow) —
+    and x-column = that cross product, not its negation (regression: a
+    proper look-at rendered every FS view horizontally mirrored vs GT)."""
+    r, th = 3.2, 90.0
+    phis = np.array([0.0, -45.0, -90.0])  # reference range(0, -360, -45)
+    c2w = circle_poses(np.full(3, r), np.full(3, th), phis)
+    for p, phi in zip(c2w, np.deg2rad(phis)):
+        pos = np.array([r * np.sin(phi), 0.0, r * np.cos(phi)])
+        np.testing.assert_allclose(p[:3, 3], pos, atol=1e-5)
+        assert np.linalg.det(p[:3, :3]) < 0  # improper, like the reference
+        fwd = pos / np.linalg.norm(pos)
+        np.testing.assert_allclose(p[:3, 2], fwd, atol=1e-6)
+        right = np.cross(fwd, [0.0, 1.0, 0.0])
+        right = right / np.linalg.norm(right)
+        np.testing.assert_allclose(p[:3, 0], right, atol=1e-6)
+    # Frontal view (phi=0): the x-column must be -x̂ (cross(+ẑ, ŷ)).
+    np.testing.assert_allclose(c2w[0][:3, 0], [-1.0, 0.0, 0.0], atol=1e-6)
+
+
 def test_load_fs_sequence(tmp_path):
     import cv2
 
