@@ -143,3 +143,7 @@ def test_train_step_front_normals_only():
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert "loss_normal_F" in metrics and "loss_normal_B" not in metrics
+    # normal-mask supervision is nested inside the reference's
+    # lambda_normal_B branch (``gaussian_surfel_mvdream.py:394-399``):
+    # FS runs compute NO normal-mask loss.
+    assert "loss_normal_mask" not in metrics
