@@ -71,6 +71,25 @@ def composite_weights(
     return weights, t_final
 
 
+def finalize_accum(
+    accum_color: jnp.ndarray,  # [..., C] pre-background weighted sum
+    accum_normal: jnp.ndarray,  # [..., 3] (zeros if not surface)
+    accum_depth: jnp.ndarray,  # [...] plane-corrected weighted depth sum
+    t_final: jnp.ndarray,  # [...]
+    bg_color: jnp.ndarray,  # [C] or [..., C]
+    normalize_depth: bool,
+):
+    """Output assembly for composites that return pre-accumulated channel
+    sums (the fused Pallas path, :mod:`soar_tpu.render.block_composite`)
+    instead of per-slot weights — same math as :func:`finalize`."""
+    T = jnp.minimum(1.0 - 1e-6, t_final)
+    color = accum_color + T[..., None] * bg_color
+    depth = (
+        accum_depth / (1.0 - T) if normalize_depth else accum_depth + T * 10.0
+    )
+    return color, accum_normal, depth, 1.0 - T, T
+
+
 def finalize(
     weights: jnp.ndarray,  # [..., K]
     t_final: jnp.ndarray,  # [...]

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from ..core.camera import Camera
-from .composite import composite_weights, finalize, splat_alpha
+from .block_composite import composite_block
+from .composite import composite_weights, finalize, finalize_accum, splat_alpha
 from .preprocess import preprocess
 from .tilegrid import (
     cdiv as _cdiv,
@@ -333,9 +334,71 @@ def _rasterize_core(
 
     bg = jnp.asarray(bg_color)
 
-    def composite_main(g):
+    # Fused-Pallas composite switch (``RasterConfig.composite``): on TPU the
+    # kernels compile natively; anywhere else they run in interpret mode so
+    # the CPU test suite exercises the exact same code path.
+    pallas_interpret = jax.default_backend() != "tpu"
+
+    def composite_main_pallas(g):
+        """Fused-kernel variant of ``composite_main``: the whole
+        alpha -> exclusion -> weights -> channel-sum chain runs in ONE
+        Pallas kernel per block of tiles (custom-VJP backward), so the
+        [tiles, pixels, K] intermediates never reach HBM
+        (:mod:`soar_tpu.render.block_composite`)."""
+        xy = g[..., 0:2]
+        conic = g[..., 2:5]
+        opac = g[..., 5]
+        depths = g[..., 6]
+        view_dot_g = g[..., 7]
+        jinv = g[..., 8:18]
+        normals = g[..., 18:21]
+        colors = g[..., 21 : 21 + C_ch]
+
+        if cfg.surface and cfg.perpix_depth:
+            # dif_z = dx*e0 + dy*e1 (the linear-in-pixel-offset form of the
+            # plane correction; see block_composite docstring).
+            e = jnp.stack(
+                [
+                    jinv[..., 0] * jinv[..., 6] + jinv[..., 2] * jinv[..., 9],
+                    jinv[..., 1] * jinv[..., 6] + jinv[..., 3] * jinv[..., 9],
+                ],
+                axis=-1,
+            )
+        else:
+            e = jnp.zeros_like(xy)
+        parts = [colors]
+        if cfg.surface:
+            parts.append(normals)
+        parts.append(depths[..., None])
+        attrs = jnp.concatenate(parts, axis=-1)
+        accum, corr, t_final = composite_block(
+            xy, conic, opac, slot_valid, attrs, e, pixf,
+            cfg.alpha_clamp, cfg.alpha_min, cfg.transmittance_min,
+            interpret=pallas_interpret,
+        )
+        accum_color = accum[..., :C_ch]
+        if cfg.surface:
+            accum_normal = accum[..., C_ch : C_ch + 3]
+        else:
+            accum_normal = jnp.zeros(accum.shape[:-1] + (3,), accum.dtype)
+        accum_depth = accum[..., -1] - corr
+        color, normal, depth, opac_out, T = finalize_accum(
+            accum_color, accum_normal, accum_depth, t_final, bg,
+            cfg.normalize_depth,
+        )
+        out = RenderOutputs(
+            color=untile(color, C_ch),
+            normal=untile(normal, 3),
+            depth=untile(depth[..., None], 1)[..., 0],
+            opac=untile(opac_out[..., None], 1)[..., 0],
+            transmittance=untile(T[..., None], 1)[..., 0],
+            overflow=overflow,
+        )
+        return out, (xy, conic, opac, view_dot_g)
+
+    def composite_main_xla(g):
         """Full main-pass composite of one gathered slot order.  Returns the
-        RenderOutputs plus the (d, conic, opac, view_dot) slot tensors the
+        RenderOutputs plus the (xy, conic, opac, view_dot) slot tensors the
         occlusion pass re-composites from."""
         xy = g[..., 0:2]
         conic = g[..., 2:5]
@@ -395,7 +458,12 @@ def _rasterize_core(
             transmittance=untile(T[..., None], 1)[..., 0],
             overflow=overflow,
         )
-        return out, (d, conic, opac, view_dot_g)
+        return out, (xy, conic, opac, view_dot_g)
+
+    composite_main = (
+        composite_main_pallas if cfg.composite == "pallas"
+        else composite_main_xla
+    )
 
     if also_back:
         gidx, g_f = gather(False)
@@ -413,7 +481,7 @@ def _rasterize_core(
             # (``diff_gaussian_rasterizer.py:281-291``): re-gather forward.
             gidx, g_ff = gather(False)
             front_slots = (
-                g_ff[..., 0:2][:, None, :, :] - pixf[:, :, None, :],
+                g_ff[..., 0:2],
                 g_ff[..., 2:5],
                 g_ff[..., 5],
                 g_ff[..., 7],
@@ -425,24 +493,37 @@ def _rasterize_core(
 
     # ---- occlusion pass: re-composite with back-facing splats culled and
     # geometry gradients stopped (``diff_gaussian_rasterizer.py:281-291``).
-    d, conic, opac, view_dot_g = front_slots
+    xy_s, conic_s, opac_s, view_dot_g = front_slots
     sg = jax.lax.stop_gradient
     front = view_dot_g <= -0.01
-    alpha_b = splat_alpha(
-        sg(d),
-        sg(conic)[:, None],
-        opac[:, None],
-        (slot_valid & front)[:, None],
-        cfg.alpha_clamp,
-        cfg.alpha_min,
-    )
-    weights_b, t_final_b = composite_weights(alpha_b, cfg.transmittance_min)
     occ_g = checkpoint_name(occ_colors[gidx], "raster_occ_gather")
-    Tb = jnp.minimum(1.0 - 1e-6, t_final_b)
-    color_b = (
-        jnp.einsum("npk,nkc->npc", weights_b, occ_g) + Tb[..., None] * bg
-    )
     Cb = occ_colors.shape[-1]
+    if cfg.composite == "pallas":
+        accum_b, _, t_final_b = composite_block(
+            sg(xy_s), sg(conic_s), opac_s, slot_valid & front, occ_g,
+            jnp.zeros_like(xy_s), pixf,
+            cfg.alpha_clamp, cfg.alpha_min, cfg.transmittance_min,
+            interpret=pallas_interpret,
+        )
+        Tb = jnp.minimum(1.0 - 1e-6, t_final_b)
+        color_b = accum_b + Tb[..., None] * bg
+    else:
+        d_b = sg(xy_s)[:, None, :, :] - pixf[:, :, None, :]
+        alpha_b = splat_alpha(
+            d_b,
+            sg(conic_s)[:, None],
+            opac_s[:, None],
+            (slot_valid & front)[:, None],
+            cfg.alpha_clamp,
+            cfg.alpha_min,
+        )
+        weights_b, t_final_b = composite_weights(
+            alpha_b, cfg.transmittance_min
+        )
+        Tb = jnp.minimum(1.0 - 1e-6, t_final_b)
+        color_b = (
+            jnp.einsum("npk,nkc->npc", weights_b, occ_g) + Tb[..., None] * bg
+        )
     ref_out = main_ret[0] if also_back else main_ret
     occ_out = RenderOutputs(
         color=untile(color_b, Cb),

@@ -75,6 +75,12 @@ class RasterConfig:
     # single-tier dup_side grid; fat_budget=0 also disables it.
     dup_side_small: int = 2
     fat_budget: int = 8192
+    # Composite implementation: "xla" = dense [tiles, pixels, K] cumprod
+    # (autodiff backward); "pallas" = the fused block kernel of
+    # :mod:`soar_tpu.render.block_composite` (custom-VJP backward, no HBM
+    # intermediates).  Numerics match to ~1e-6 (log-space cumprod); gradients
+    # match XLA autodiff through the same masks.
+    composite: str = "xla"
     scale_modifier: float = 1.0
     low_pass: float = 0.3  # 2D covariance dilation (forward.cu:119-120)
     alpha_clamp: float = 0.99

@@ -1,0 +1,151 @@
+"""Blocked Pallas composite (fwd + hand-derived bwd) vs the XLA cumprod
+formulation — interpret mode on CPU; the same kernels compile natively on
+TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soar_tpu.render.block_composite import composite_block
+from soar_tpu.render.composite import composite_weights, splat_alpha
+
+
+def make_scene(NT=6, K=24, tile=16, C=7, seed=0, saturate=False):
+    rng = np.random.RandomState(seed)
+    origins = (rng.randint(0, 4, (NT, 2)) * tile).astype(np.float32)
+    xy = origins[:, None, :] + rng.uniform(0, tile, (NT, K, 2))
+    conic = np.zeros((NT, K, 3), np.float32)
+    conic[..., 0] = rng.uniform(0.02, 0.3, (NT, K))
+    conic[..., 2] = rng.uniform(0.02, 0.3, (NT, K))
+    conic[..., 1] = rng.uniform(-0.02, 0.02, (NT, K))
+    if saturate:
+        opac = rng.uniform(0.9, 1.0, (NT, K)).astype(np.float32)
+    else:
+        opac = rng.uniform(0.2, 0.9, (NT, K)).astype(np.float32)
+    attrs = rng.uniform(-1, 1, (NT, K, C)).astype(np.float32)
+    e = rng.uniform(-0.3, 0.3, (NT, K, 2)).astype(np.float32)
+    valid = rng.rand(NT, K) > 0.15
+    lx = np.tile(np.arange(tile, dtype=np.float32), tile)
+    ly = np.repeat(np.arange(tile, dtype=np.float32), tile)
+    pixf = np.stack(
+        [origins[:, None, 0] + lx[None], origins[:, None, 1] + ly[None]], -1
+    ).astype(np.float32)
+    return tuple(
+        jnp.asarray(a)
+        for a in (xy.astype(np.float32), conic, opac, valid, attrs, e, pixf)
+    )
+
+
+def xla_composite(xy, conic, opac, valid, attrs, e, pixf):
+    """Reference: the production XLA chain at the [NT, P, K] level."""
+    d = xy[:, None, :, :] - pixf[:, :, None, :]
+    alpha = splat_alpha(d, conic[:, None], opac[:, None], valid[:, None])
+    weights, t_final = composite_weights(alpha)
+    accum = jnp.einsum("npk,nkc->npc", weights, attrs)
+    corr = jnp.sum(
+        weights
+        * (d[..., 0] * e[:, None, :, 0] + d[..., 1] * e[:, None, :, 1]),
+        axis=-1,
+    )
+    return accum, corr, t_final
+
+
+def test_forward_matches_xla():
+    for seed, saturate in [(0, False), (1, True), (2, True)]:
+        scene = make_scene(seed=seed, saturate=saturate)
+        a_ref, c_ref, t_ref = xla_composite(*scene)
+        a, c, t = composite_block(*scene, interpret=True, block=4)
+        np.testing.assert_allclose(a, a_ref, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(c, c_ref, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(t, t_ref, atol=2e-5, rtol=2e-5)
+
+
+def test_forward_padding_and_counts():
+    # NT not divisible by block; fully-invalid tiles must come out empty.
+    scene = list(make_scene(NT=5, K=8, seed=3))
+    valid = np.array(scene[3])
+    valid[4] = False
+    scene[3] = jnp.asarray(valid)
+    a, c, t = composite_block(*scene, interpret=True, block=4)
+    assert a.shape[0] == 5
+    np.testing.assert_allclose(a[4], 0.0, atol=0)
+    np.testing.assert_allclose(t[4], 1.0, atol=0)
+
+
+def test_gradients_match_xla():
+    scene = make_scene(NT=4, K=16, C=5, seed=5, saturate=True)
+    xy, conic, opac, valid, attrs, e, pixf = scene
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def loss(fn, xy, conic, opac, attrs, e):
+        a, c, t = fn(xy, conic, opac, valid, attrs, e, pixf)
+        r1 = jax.random.normal(k1, a.shape)
+        r2 = jax.random.normal(k2, c.shape)
+        r3 = jax.random.normal(k3, t.shape)
+        return jnp.sum(a * r1) + jnp.sum(c * r2) + jnp.sum(t * r3)
+
+    args = (xy, conic, opac, attrs, e)
+    g_ref = jax.grad(
+        lambda *a: loss(xla_composite, *a), argnums=(0, 1, 2, 3, 4)
+    )(*args)
+    g_pl = jax.grad(
+        lambda *a: loss(
+            lambda *s: composite_block(*s, interpret=True, block=4), *a
+        ),
+        argnums=(0, 1, 2, 3, 4),
+    )(*args)
+    names = ["xy", "conic", "opac", "attrs", "e"]
+    for n, gr, gp in zip(names, g_ref, g_pl):
+        np.testing.assert_allclose(
+            gp, gr, atol=5e-5, rtol=5e-4, err_msg=f"grad mismatch: {n}"
+        )
+
+
+def test_rasterizer_pallas_composite_matches_xla():
+    """Full rasterizer (main + occ + front/back) with composite="pallas" vs
+    the XLA path — values and gradients."""
+    import dataclasses
+
+    from soar_tpu.render.tiled import rasterize_front_back, rasterize_with_occ
+    from soar_tpu.render.types import RasterConfig
+    from tests.test_render import make_camera, make_scene
+
+    cfg_x = RasterConfig(max_per_tile=32, dup_side=4)
+    cfg_p = dataclasses.replace(cfg_x, composite="pallas")
+    g = make_scene(n=50)
+    cam = make_camera()
+    bg = jnp.array([0.3, 0.3, 0.3])
+    occ_colors = jnp.asarray(
+        np.random.RandomState(1).rand(50, 3).astype(np.float32)
+    )
+
+    for fn in (rasterize_with_occ, rasterize_front_back):
+        outs_x = fn(g, occ_colors, cam, (64, 64), bg, cfg_x)
+        outs_p = fn(g, occ_colors, cam, (64, 64), bg, cfg_p)
+        for ox, op in zip(outs_x, outs_p):
+            np.testing.assert_allclose(op.color, ox.color, atol=3e-5)
+            np.testing.assert_allclose(op.normal, ox.normal, atol=3e-5)
+            np.testing.assert_allclose(op.depth, ox.depth, atol=2e-4)
+            np.testing.assert_allclose(op.opac, ox.opac, atol=3e-5)
+
+    def loss(xyz, colors, opac, cfg):
+        gg = g._replace(means3d=xyz, colors=colors, opacities=opac)
+        main, occ = rasterize_with_occ(
+            gg, occ_colors, cam, (64, 64), bg, cfg
+        )
+        return (
+            jnp.sum(main.color ** 2)
+            + jnp.sum(main.normal * 0.3)
+            + jnp.sum(main.depth * 0.01)
+            + jnp.sum(occ.color * 0.2)
+            + jnp.sum(occ.opac * 0.1)
+        )
+
+    args = (g.means3d, g.colors, g.opacities)
+    gx = jax.grad(loss, argnums=(0, 1, 2))(*args, cfg_x)
+    gp = jax.grad(loss, argnums=(0, 1, 2))(*args, cfg_p)
+    for n, (a, b) in zip(("xyz", "colors", "opac"), zip(gx, gp)):
+        np.testing.assert_allclose(
+            b, a, atol=1e-4, rtol=5e-4, err_msg=f"grad mismatch: {n}"
+        )
