@@ -149,3 +149,49 @@ def test_rasterizer_pallas_composite_matches_xla():
         np.testing.assert_allclose(
             b, a, atol=1e-4, rtol=5e-4, err_msg=f"grad mismatch: {n}"
         )
+
+
+def test_pallas_composite_under_selective_remat():
+    """The trainer's selective-remat policy (save only named post-sort
+    residuals, rematerialize the composite) must compose with the fused
+    kernel's custom VJP: the remat backward re-runs the forward kernel and
+    then calls the hand-written backward kernel — gradients identical to
+    the un-rematted pallas path."""
+    import dataclasses
+
+    from soar_tpu.render.tiled import rasterize_with_occ
+    from soar_tpu.render.types import RasterConfig
+    from tests.test_render import make_camera, make_scene
+
+    cfg = dataclasses.replace(
+        RasterConfig(max_per_tile=48, dup_side=4), composite="pallas"
+    )
+    g = make_scene(n=60)
+    cam = make_camera()
+    bg = jnp.zeros(3)
+    occ_colors = jnp.broadcast_to(jnp.asarray(0.4), (60, 3))
+
+    def loss(xyz, colors, opac):
+        gg = g._replace(means3d=xyz, colors=colors, opacities=opac)
+        main, occ = rasterize_with_occ(gg, occ_colors, cam, (64, 64), bg, cfg)
+        return (
+            jnp.sum(main.color**2)
+            + jnp.sum(main.normal)
+            + jnp.sum(main.depth * main.opac)
+            + jnp.sum(occ.color)
+        )
+
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "raster_gather",
+        "raster_gidx",
+        "raster_slot_valid",
+        "raster_overflow",
+        "raster_occ_gather",
+    )
+    args = (g.means3d, g.colors, g.opacities)
+    plain = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    remat = jax.grad(jax.checkpoint(loss, policy=policy), argnums=(0, 1, 2))(
+        *args
+    )
+    for a, b in zip(plain, remat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
