@@ -140,13 +140,18 @@ def run(include_sds: bool = True):
     # shared, gen-path-only, and gt-path-only respectively.
     import os
 
+    # SOAR_BENCH_COMPOSITE=pallas routes every pass through the fused
+    # blocked-Pallas composite (render/block_composite.py) for A/B runs.
+    comp = os.environ.get("SOAR_BENCH_COMPOSITE", "xla")
+
     def _raster(env):
         fb = os.environ.get(env, os.environ.get("SOAR_BENCH_FAT_BUDGET"))
         if fb is None:
             return None
-        return RasterConfig(max_per_tile=96, dup_side=5, fat_budget=int(fb))
+        return RasterConfig(max_per_tile=96, dup_side=5, fat_budget=int(fb),
+                            composite=comp)
 
-    raster = RasterConfig(max_per_tile=96, dup_side=5)
+    raster = RasterConfig(max_per_tile=96, dup_side=5, composite=comp)
     raster_gen = _raster("SOAR_BENCH_FAT_GEN")
     raster_gt = _raster("SOAR_BENCH_FAT_GT")
     import sys

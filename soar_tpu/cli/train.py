@@ -181,6 +181,11 @@ def main(argv=None):
         help="override the stage SDS warm-up length (steps <= sds_start "
         "run a guidance-free program; stage-0 default 500)",
     )
+    ap.add_argument(
+        "--composite", type=str, default="xla", choices=["xla", "pallas"],
+        help="rasterizer composite implementation (RasterConfig.composite): "
+        "dense XLA cumprod vs the fused blocked-Pallas kernel",
+    )
     args = ap.parse_args(argv)
 
     guidance_from_yaml = False
@@ -263,7 +268,7 @@ def main(argv=None):
     # FS sequences ship no back normals (empty normal_B): gate the back
     # pass + loss off like the reference's `"gt_normal_B" in batch` check.
     has_normal_B = bool(getattr(ds, "normal_B", np.zeros(0)).size)
-    raster = RasterConfig()
+    raster = RasterConfig(composite=args.composite)
 
     from ..train.lpips import make_lpips_fn
 
