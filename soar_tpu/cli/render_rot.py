@@ -18,7 +18,7 @@ import os
 
 
 def run_turntable(out_dir, ds, params, model, use_explicit, num_views=36,
-                  attrs=None):
+                  attrs=None, composite="xla"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,7 +30,9 @@ def run_turntable(out_dir, ds, params, model, use_explicit, num_views=36,
     from ..train.trainer import make_gt_batch
 
     os.makedirs(out_dir, exist_ok=True)
-    settings = RenderSettings(use_explicit=use_explicit, raster=RasterConfig())
+    settings = RenderSettings(
+        use_explicit=use_explicit, raster=RasterConfig(composite=composite)
+    )
     H, W = ds.image_size
     cam = make_gt_batch(ds, model, 0)["gt_cam"]
 
@@ -88,6 +90,10 @@ def main(argv=None):
     ap.add_argument("--num-subdiv", type=int, default=2)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--use-explicit", action="store_true")
+    ap.add_argument(
+        "--composite", type=str, default="xla", choices=["xla", "pallas"],
+        help="rasterizer composite implementation (RasterConfig.composite)",
+    )
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -165,6 +171,7 @@ def main(argv=None):
         args.use_explicit or force_explicit or args.ckpt is None,
         args.num_views,
         attrs=attrs,
+        composite=args.composite,
     )
 
 
