@@ -268,6 +268,14 @@ def main(argv=None):
     # FS sequences ship no back normals (empty normal_B): gate the back
     # pass + loss off like the reference's `"gt_normal_B" in batch` check.
     has_normal_B = bool(getattr(ds, "normal_B", np.zeros(0)).size)
+    if args.multichip and args.composite == "pallas" and len(jax.devices()) > 1:
+        # The multichip path partitions the composite via GSPMD sharding
+        # constraints on the XLA program; an opaque pallas_call cannot be
+        # partitioned over the tile axis and would replicate the full
+        # composite per device. Force the XLA composite under --multichip.
+        print("warning: --multichip forces --composite xla "
+              "(pallas composite is opaque to GSPMD)")
+        args.composite = "xla"
     raster = RasterConfig(composite=args.composite)
 
     from ..train.lpips import make_lpips_fn
