@@ -19,6 +19,62 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _small_scene():
+    """Tiny analogue of ``bench_trainstep.build_scene`` for --small runs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from soar_tpu.avatar import init_avatar
+    from soar_tpu.body import make_test_body
+    from soar_tpu.data.dataset import AvatarDataset
+    from soar_tpu.field.attribute_field import AttributeFieldConfig
+    from soar_tpu.field.hashgrid import HashGridConfig
+    from soar_tpu.train.config import TrainConfig
+
+    body = make_test_body(num_joints=3, segments_per_bone=2, ring=6)
+    F = 2
+    rng = np.random.RandomState(0)
+    sp = {
+        "betas": np.zeros((1, body.num_betas), np.float32),
+        "body_pose": (rng.randn(F, (body.num_joints - 1) * 3) * 0.05).astype(
+            np.float32
+        ),
+        "global_orient": np.zeros((F, 3), np.float32),
+        "transl": np.tile([[0.0, 0.9, -2.8]], (F, 1)).astype(np.float32),
+    }
+    fc = AttributeFieldConfig(
+        grid=HashGridConfig(num_levels=2, min_res=4, max_res=8,
+                            log2_hashmap_size=8),
+        hidden_dim=8,
+    )
+    params, model = init_avatar(
+        body,
+        {k: jnp.asarray(v) for k, v in sp.items()},
+        num_subdiv=0,
+        field_cfg=fc,
+        distill_steps=0,
+    )
+    H = W = 64
+    K = np.array([[75.0, 0, W / 2], [0, 75.0, H / 2], [0, 0, 1]], np.float32)
+    ds = AvatarDataset(
+        images=rng.rand(F, H, W, 3).astype(np.float32),
+        masks=(rng.rand(F, H, W) > 0.5).astype(np.float32),
+        normal_F=rng.rand(F, H, W, 3).astype(np.float32),
+        normal_B=rng.rand(F, H, W, 3).astype(np.float32),
+        normal_mask=(rng.rand(F, H, W) > 0.5).astype(np.float32),
+        images_crop=rng.rand(F, H, W, 3).astype(np.float32),
+        masks_crop=(rng.rand(F, H, W) > 0.5).astype(np.float32),
+        smpl_params=sp,
+        w2c=np.eye(4, dtype=np.float32),
+        Ks=np.tile(K[None], (F, 1, 1)),
+        normal_Ks=np.tile(K[None], (F, 1, 1)),
+        train_idx=list(range(F)),
+        val_idx=[],
+        test_idx=[],
+    )
+    return params, model, ds, TrainConfig(n_views=2, head_prob=0.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gen-chunk", default="2")
@@ -26,6 +82,15 @@ def main():
     ap.add_argument("--remat-gt", type=int, default=0)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--no-sds", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny scene + tiny guidance for quick CPU smoke "
+                    "of a knob combination (timings meaningless)")
+    ap.add_argument("--sds-mode", choices=["split", "fused"], default="split",
+                    help="split: prelude program computes the no-grad UNet "
+                    "target (production default); fused: the whole SDS "
+                    "traces inside the train step with the weights as a jit "
+                    "argument (removes the duplicate gen render + VAE but "
+                    "compiles one much larger program)")
     args = ap.parse_args()
     chunk = None if args.gen_chunk.lower() == "none" else int(args.gen_chunk)
 
@@ -41,7 +106,14 @@ def main():
         make_train_step,
     )
 
-    params, model, ds, cfg = B.build_scene()
+    if args.small:
+        params, model, ds, cfg = _small_scene()
+        gen_size = 64
+        guidance_kw = dict(tiny=True, image_size=64, n_view=cfg.n_views)
+    else:
+        params, model, ds, cfg = B.build_scene()
+        gen_size = 512
+        guidance_kw = dict(mock=True, image_size=256, n_view=4)
     H, W = ds.images.shape[1:3]
     lpips_fn = B._random_lpips_fn()
     raster = RasterConfig(max_per_tile=96, dup_side=5)
@@ -56,10 +128,8 @@ def main():
             "imagedream",
             stage,
             key=jax.random.PRNGKey(1),
-            mock=True,
-            image_size=256,
-            n_view=4,
             dtype=jnp.bfloat16,
+            **guidance_kw,
         )
 
     state, opt = init_train_state(params, cfg, stage=stage)
@@ -68,15 +138,16 @@ def main():
         cfg,
         stage,
         opt,
-        gen_size=(512, 512),
+        gen_size=(gen_size, gen_size),
         gt_size=(H, W),
-        normal_size=(512, 512),
+        normal_size=(gen_size, gen_size),
         raster=raster,
         use_explicit=False,
         has_normals=True,
         lpips_fn=lpips_fn,
         guidance_fn=guidance_fn,
-        split_sds=guidance_fn is not None,
+        split_sds=guidance_fn is not None and args.sds_mode == "split",
+        sds_via_params=guidance_fn is not None and args.sds_mode == "fused",
         gen_chunk=chunk,
         remat_gen=bool(args.remat_gen),
         remat_gt=bool(args.remat_gt),
@@ -87,20 +158,32 @@ def main():
         if raw.sds_prelude is not None
         else None
     )
+    gparams = (
+        guidance_fn.arg_params
+        if guidance_fn is not None and args.sds_mode == "fused"
+        else None
+    )
 
     key = jax.random.PRNGKey(0)
     batch = make_gt_batch(ds, model, 0)
     ref_ip = None
-    if prelude is not None and guidance_fn.embed_ref is not None:
+    if guidance_fn is not None and guidance_fn.embed_ref is not None:
         ref_ip = jax.block_until_ready(
             guidance_fn.embed_ref(jnp.asarray(ds.normal_F[0]))
         )
         guidance_fn.release_image_encoder()
+    if gparams is not None and ref_ip is not None:
+        # fused mode reads the precomputed ip tokens from the batch
+        # (cli.train attaches them per-frame the same way).
+        batch = dict(batch)
+        batch["ref_ip"] = ref_ip
 
     def one_step(state, batch, k):
         if prelude is not None:
             batch = dict(batch)
             batch["sds_target"] = prelude(state, batch, k, ref_ip=ref_ip)
+        if gparams is not None:
+            return fn(state, batch, k, gparams)
         return fn(state, batch, k)
 
     t0 = time.time()
@@ -125,7 +208,8 @@ def main():
               file=sys.stderr)
     print(
         f"gen_chunk={chunk} remat_gen={args.remat_gen} remat_gt={args.remat_gt}"
-        f" sds={guidance_fn is not None}: {args.iters/best:.3f} steps/s"
+        f" sds={guidance_fn is not None} mode={args.sds_mode}:"
+        f" {args.iters/best:.3f} steps/s"
         f" ({best/args.iters*1000:.0f} ms/step)"
     )
 
