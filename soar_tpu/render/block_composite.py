@@ -146,13 +146,16 @@ def _fwd_kernel(
     feat_ref, px_ref, py_ref, accum_ref, corr_ref, t_ref,
     *, C, alpha_clamp, alpha_min, t_min,
 ):
+    # Per-pixel operands carry a singleton middle dim — Mosaic requires the
+    # last two block dims be (8, 128)-divisible or full-size, which (1, P)
+    # satisfies for any tile-block size (a plain (block, P) spec does not).
     f = feat_ref[...]
     s = _splat_terms(
-        f, px_ref[...], py_ref[...], alpha_clamp, alpha_min, t_min
+        f, px_ref[:, 0, :], py_ref[:, 0, :], alpha_clamp, alpha_min, t_min
     )
     w = s["w"]
-    t_ref[...] = jnp.exp(jnp.sum(s["lo_e"], axis=-1))
-    corr_ref[...] = jnp.sum(
+    t_ref[:, 0, :] = jnp.exp(jnp.sum(s["lo_e"], axis=-1))
+    corr_ref[:, 0, :] = jnp.sum(
         w * (s["dx"] * s["e0"] + s["dy"] * s["e1"]), axis=-1
     )
     for c in range(C):
@@ -166,13 +169,13 @@ def _bwd_kernel(
 ):
     f = feat_ref[...]
     s = _splat_terms(
-        f, px_ref[...], py_ref[...], alpha_clamp, alpha_min, t_min
+        f, px_ref[:, 0, :], py_ref[:, 0, :], alpha_clamp, alpha_min, t_min
     )
     dx, dy, w, t_e = s["dx"], s["dy"], s["w"], s["t_e"]
     e0, e1 = s["e0"], s["e1"]
 
-    gcorr = gcorr_ref[...][:, :, None]  # [B, P, 1]
-    gt = gt_ref[...]  # [B, P]
+    gcorr = gcorr_ref[:, 0, :][:, :, None]  # [B, P, 1]
+    gt = gt_ref[:, 0, :]  # [B, P]
 
     # dL/dw per pixel-slot: channel cotangents + the corr output.
     gw = gcorr * (dx * e0 + dy * e1)
@@ -231,18 +234,18 @@ def _make_fused(
             grid=_grid(NT),
             in_specs=[
                 pl.BlockSpec((block, K, F), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((block, C, P), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((NT, C, P), jnp.float32),
-                jax.ShapeDtypeStruct((NT, P), jnp.float32),
-                jax.ShapeDtypeStruct((NT, P), jnp.float32),
+                jax.ShapeDtypeStruct((NT, 1, P), jnp.float32),
+                jax.ShapeDtypeStruct((NT, 1, P), jnp.float32),
             ],
             interpret=interpret,
         )(feat, px, py)
@@ -254,11 +257,11 @@ def _make_fused(
             grid=_grid(NT),
             in_specs=[
                 pl.BlockSpec((block, K, F), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
                 pl.BlockSpec((block, C, P), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
-                pl.BlockSpec((block, P), lambda i: (i, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
             ],
             out_specs=[pl.BlockSpec((block, K, F), lambda i: (i, 0, 0))],
             out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
@@ -327,9 +330,11 @@ def composite_block(
         K, C, P, block, float(alpha_clamp), float(alpha_min), float(t_min),
         bool(interpret),
     )
+    # Singleton middle dim: see _fwd_kernel's Mosaic block-shape note.
     accum, corr, T = fused(
-        feat, pixf[..., 0], pixf[..., 1]
+        feat, pixf[..., 0][:, None, :], pixf[..., 1][:, None, :]
     )
+    corr, T = corr[:, 0, :], T[:, 0, :]
     if pad:
         accum, corr, T = accum[:NT], corr[:NT], T[:NT]
     return accum.transpose(0, 2, 1), corr, T
