@@ -1,67 +1,117 @@
 """Benchmark: full training-step throughput (headline) + render FPS.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Streams one COMPLETE JSON line per finished phase (cumulative — the last
+line printed is always the best-available result) and runs under a
+wall-clock budget (SOAR_BENCH_BUDGET seconds, default 480) with graceful
+early exit, so a timeout or mid-phase failure preserves every completed
+phase instead of discarding the run.  Exit code is 0 whenever at least
+one phase landed.
 
-Baseline derivation (BASELINE.md): the reference trains 2000 steps
-(1000 s0 + 1000 s1; SDS gated off for s0's first 500) in ~40 min on an
-RTX A5000 with 14 CUDA rasterizations + LPIPS per step and the ImageDream
-VAE+UNet on the 1500 SDS steps (SURVEY §3.2) — i.e. ~0.83 steps/s averaged
-over that 500 no-SDS / 1500 SDS mix.  The headline metric is OUR average
-over the same mix (``bench_trainstep.run``: each step = 7 renders at 512px
-over ~125k surfels, all losses incl. normal-LPIPS; SDS steps add the
-320-ch ImageDream UNet + VAE + CLIP image prompt in bf16; fused Adam) vs
-0.83 steps/s — the same end-to-end work as the reference.  The raw
-SDS-on-step rate, no-SDS rate, and forward-render FPS at 512² (vs the
-implied 11.7/s) ride along as secondary keys.  All use best-of-3 batches against
-the ~3-7x shared-tenancy variance of the TPU tunnel; rasterizer overflow
-counters are asserted 0.
+Phase order (fastest-compiling, headline-critical first):
+  1. no-SDS production train step   (7 renders @512px/125k surfels, all
+     losses incl. normal-LPIPS, fused Adam)
+  2. forward render FPS @512px
+  3. SDS-on production train step   (+ full-shape bf16 ImageDream
+     UNet/VAE + CLIP image prompt, split no-grad prelude)
+  4. 2000-step schedule average     (500 no-SDS + 1500 SDS mix — the
+     apples-to-apples headline vs the reference's 0.83 steps/s / ~40 min
+     on an RTX A5000, BASELINE.md)
+
+Rasterizer canaries (`raster_capped` must be 0; `raster_dropped` benign)
+are reported fields.  All timings best-of-3 batches against the ~3-7x
+shared-tenancy variance of the TPU tunnel.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 
+def _emit(result):
+    print(json.dumps(result), flush=True)
+
+
 def main():
+    budget = float(os.environ.get("SOAR_BENCH_BUDGET", "480"))
+    deadline = time.time() + budget
+
     import jax
     import jax.numpy as jnp
-    import numpy as np
+
+    import bench_trainstep as B
+
+    result = {"phases_completed": [], "phases_skipped": []}
+
+    scene = B.build_scene()
+    params, model, ds, cfg = scene
+    n = int(params.xyz.shape[0])
+    lpips_fn = B._random_lpips_fn()
+
+    # ---- Phase 1: no-SDS production train step (headline fallback) ----
+    s_plain = None
+    try:
+        frag, s_plain = B.phase_no_sds(scene, lpips_fn, deadline)
+        result.update(frag)
+        result["phases_completed"].append("no_sds_step")
+        result.update(
+            {
+                "metric": f"train_step_no_sds_512px_{n}surfels",
+                "value": frag["train_step_no_sds_steps_per_s"],
+                "unit": "steps/s",
+                "vs_baseline": frag["train_step_no_sds_vs_baseline"],
+            }
+        )
+        _emit(result)
+    except Exception as e:  # noqa: BLE001 - a phase failure must not kill the artifact
+        result["error_no_sds"] = f"{type(e).__name__}: {e}"[:300]
+        _emit(result)
+
+    # ---- Phase 2: forward render FPS at 512px ----
+    if time.time() < deadline - 30:
+        try:
+            fps = _render_fps(params, model, deadline)
+            baseline_raster_per_s = 11.7  # implied by 0.83 steps/s x 14 rasters
+            result[f"fwd_render_fps_512px_{n}surfels"] = round(fps, 2)
+            result["fwd_render_fps_vs_baseline"] = round(
+                fps / baseline_raster_per_s, 3
+            )
+            result["phases_completed"].append("render_fps")
+            _emit(result)
+        except Exception as e:  # noqa: BLE001
+            result["error_render_fps"] = f"{type(e).__name__}: {e}"[:300]
+            _emit(result)
+    else:
+        result["phases_skipped"].append("render_fps")
+
+    # ---- Phase 3+4: SDS-on step and the schedule-average headline ----
+    if s_plain is not None and time.time() < deadline - 60:
+        try:
+            frag, s_sds = B.phase_sds(scene, lpips_fn, deadline)
+            result.update(frag)
+            result.update(B.schedule_average(s_plain, s_sds, n))
+            result["phases_completed"].append("sds_step")
+            _emit(result)
+        except Exception as e:  # noqa: BLE001
+            result["error_sds"] = f"{type(e).__name__}: {e}"[:300]
+            _emit(result)
+    else:
+        result["phases_skipped"].append("sds_step")
+        if result["phases_skipped"]:
+            _emit(result)
+
+    sys.exit(0 if result["phases_completed"] else 1)
+
+
+def _render_fps(params, model, deadline):
+    import jax
+    import jax.numpy as jnp
 
     from soar_tpu.avatar import RenderSettings, render_view
-    from soar_tpu.avatar import state as S
-    from soar_tpu.avatar.state import init_avatar
-    from soar_tpu.body import make_test_body
     from soar_tpu.core.camera import camera_from_c2w
-    from soar_tpu.field.attribute_field import AttributeFieldConfig
-    from soar_tpu.field.hashgrid import HashGridConfig
     from soar_tpu.render.types import RasterConfig
-
-    # ~110k-surfel body (SOAR scale: 2x-subdivided SMPL-X ~= 110k points).
-    body = make_test_body(num_joints=10, segments_per_bone=7, ring=28)
-    F = 4
-    rng = np.random.RandomState(0)
-    smpl_params = {
-        "betas": np.zeros((1, body.num_betas), np.float32),
-        "body_pose": (rng.randn(F, (body.num_joints - 1) * 3) * 0.05).astype(
-            np.float32
-        ),
-        "global_orient": np.zeros((F, 3), np.float32),
-        "transl": np.tile([[0.0, 0.9, -2.8]], (F, 1)).astype(np.float32),
-    }
-    field_cfg = AttributeFieldConfig(
-        grid=HashGridConfig(
-            num_levels=16, min_res=16, max_res=2048, log2_hashmap_size=18
-        )
-    )
-    params, model = init_avatar(
-        body,
-        {k: jnp.asarray(v) for k, v in smpl_params.items()},
-        num_subdiv=3,
-        field_cfg=field_cfg,
-        distill_steps=0,
-    )
-    n_surfels = int(params.xyz.shape[0])
 
     cam = camera_from_c2w(
         jnp.eye(4), jnp.asarray(0.7), jnp.asarray(0.7), znear=0.1, zfar=100.0
@@ -82,36 +132,23 @@ def main():
         )
         return jnp.sum(out["render"]) * 1e-12
 
-    # Warmup / compile (host pull forces completion).
+    t0 = time.time()
     _ = float(fwd(params, jnp.zeros(())))
+    print(f"[render] compile+1st: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # Best of 3 batches: the shared TPU tenancy shows ~3x run-to-run
-    # variance, so a single batch under-reports; best-of is the standard
-    # noisy-neighbor protocol.
     iters = 20
     fps = 0.0
     for _rep in range(3):
-        t0 = time.perf_counter()
+        if fps > 0.0 and time.time() + iters / fps > deadline:
+            break
+        t0 = time.time()
         s = jnp.zeros(())
         for _ in range(iters):
             s = fwd(params, s)
         _ = float(s)
-        dt = time.perf_counter() - t0
+        dt = time.time() - t0
         fps = max(fps, iters / dt)
-
-    baseline_raster_per_s = 11.7  # see module docstring
-
-    # Headline metric: the FULL training step (7 renders + losses + Adam at
-    # production scale) vs the reference's 0.83 steps/s — the end-to-end
-    # number a user feels.  Render FPS rides along as a secondary key.
-    import bench_trainstep
-
-    result = bench_trainstep.run()
-    result[f"fwd_render_fps_512px_{n_surfels}surfels"] = round(fps, 2)
-    result["fwd_render_fps_vs_baseline"] = round(
-        fps / baseline_raster_per_s, 3
-    )
-    print(json.dumps(result))
+    return fps
 
 
 if __name__ == "__main__":

@@ -1,5 +1,5 @@
 """Full training step at production scale (the driver's headline metric via
-bench.py, which calls :func:`run`; also runnable directly:
+bench.py, which calls the phase functions here; also runnable directly:
     python bench_trainstep.py
 First run populates the persistent compile cache; re-run for timings).
 
@@ -20,10 +20,17 @@ configurations are timed and combined into the same schedule average
   500 steps, and the configuration reference users run when SDS weights
   are absent.
 
-The rasterizer overflow counters must be 0 (wrong-image canary).
+Robustness protocol (round 3): every phase result is emitted as a COMPLETE
+JSON line the moment the phase finishes (the driver keeps the last parsed
+line, so a timeout mid-bench preserves all completed phases), phases run
+under a wall-clock budget with graceful early exit, and the rasterizer
+canaries (`raster_capped` must be 0 for hole-free images, `raster_dropped`
+is benign) are REPORTED fields, never asserts — a tripped canary flags the
+number instead of destroying the artifact.
 """
 
 import json
+import sys
 import time
 
 
@@ -104,195 +111,274 @@ def build_scene():
         test_idx=[],
     )
     # head_prob=0: close-up head draws legitimately footprint-cap a ~0.2%
-    # tail of surfels (measured; near-zero visible pixels), which would trip
-    # the capped==0 assert in run().  Body cameras keep the canary strict,
-    # and head views cost the same to render so the timing is unaffected.
+    # tail of surfels (measured; near-zero visible pixels).  Body cameras
+    # keep the capped==0 canary meaningful, and head views cost the same to
+    # render so the timing is unaffected.
     cfg = TrainConfig(n_views=4, head_prob=0.0)
     return params, model, ds, cfg
 
 
-def run(include_sds: bool = True):
-    """Returns the result dict (does not print)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from soar_tpu.render.types import RasterConfig
-    from soar_tpu.train.config import StageConfig
-    from soar_tpu.train.trainer import (
-        init_train_state,
-        make_gt_batch,
-        make_train_step,
-    )
-
-    params, model, ds, cfg = build_scene()
-    n = int(params.xyz.shape[0])
-    H, W = ds.images.shape[1:3]
-
-    lpips_fn = _random_lpips_fn()
-    # The no-SDS and SDS-on programs measured here are EXACTLY the two
-    # programs cli.train runs in production: stage-0 steps <= sds_start use
-    # a guidance-free build (two-tier raster everywhere, un-rematted), and
-    # later steps the SDS build (single-tier gen renders — the trainer's
-    # measured default next to resident diffusion weights — two-tier GT).
-    # SOAR_BENCH_FAT_BUDGET / _FAT_GEN / _FAT_GT override the two-tier fat
-    # budget (0 = single-tier 5x5 grid for every surfel) for A/B runs —
-    # shared, gen-path-only, and gt-path-only respectively.
+def _rasters():
+    """Production raster configs + the SOAR_BENCH_* A/B override knobs
+    (FAT_BUDGET/_FAT_GEN/_FAT_GT set the two-tier fat budget — 0 = single-
+    tier 5x5 grid for every surfel; COMPOSITE=pallas routes every pass
+    through the fused blocked-Pallas composite)."""
     import os
 
-    # SOAR_BENCH_COMPOSITE=pallas routes every pass through the fused
-    # blocked-Pallas composite (render/block_composite.py) for A/B runs.
+    from soar_tpu.render.types import RasterConfig
+
     comp = os.environ.get("SOAR_BENCH_COMPOSITE", "xla")
 
     def _raster(env):
         fb = os.environ.get(env, os.environ.get("SOAR_BENCH_FAT_BUDGET"))
         if fb is None:
             return None
-        return RasterConfig(max_per_tile=96, dup_side=5, fat_budget=int(fb),
-                            composite=comp)
+        return RasterConfig(
+            max_per_tile=96, dup_side=5, fat_budget=int(fb), composite=comp
+        )
 
     raster = RasterConfig(max_per_tile=96, dup_side=5, composite=comp)
-    raster_gen = _raster("SOAR_BENCH_FAT_GEN")
-    raster_gt = _raster("SOAR_BENCH_FAT_GT")
-    import sys
+    return raster, _raster("SOAR_BENCH_FAT_GEN"), _raster("SOAR_BENCH_FAT_GT")
 
-    def build(guidance_fn, stage):
-        state, opt = init_train_state(params, cfg, stage=stage)
-        raw = make_train_step(
-            model,
-            cfg,
-            stage,
-            opt,
-            gen_size=(512, 512),
-            gt_size=(H, W),
-            normal_size=(512, 512),
-            raster=raster,
-            raster_gen=raster_gen,
-            raster_gt=raster_gt,
-            use_explicit=False,
-            has_normals=True,
-            lpips_fn=lpips_fn,
-            guidance_fn=guidance_fn,
-            # Production execution mode: the no-grad SDS half runs as its
-            # own program with the diffusion weights as jit arguments.  With
-            # selective remat (only the ~12 MB/view post-sort gathers saved)
-            # the full vmap-4 gen batch fits next to the resident diffusion
-            # weights and measures ~9% faster than sequential chunks of 2
-            # (0.946 vs 0.869 steps/s).
-            split_sds=guidance_fn is not None,
-            gen_chunk=None,
-            # GT residuals fit next to the (CLIP-freed) diffusion weights;
-            # keeping them saves the GT re-render in the backward (~10%).
-            remat_gt=False,
+
+def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_fn):
+    """Build the EXACT production program pair cli.train runs: stage-0
+    steps <= sds_start use a guidance-free build (two-tier raster
+    everywhere, un-rematted), and later steps the SDS build (single-tier
+    gen renders — the trainer's measured default next to resident diffusion
+    weights — two-tier GT, split no-grad prelude)."""
+    import jax
+
+    from soar_tpu.train.trainer import init_train_state, make_train_step
+
+    raster, raster_gen, raster_gt = _rasters()
+    H, W = ds.images.shape[1:3]
+    state, opt = init_train_state(params, cfg, stage=stage)
+    raw = make_train_step(
+        model,
+        cfg,
+        stage,
+        opt,
+        gen_size=(512, 512),
+        gt_size=(H, W),
+        normal_size=(512, 512),
+        raster=raster,
+        raster_gen=raster_gen,
+        raster_gt=raster_gt,
+        use_explicit=False,
+        has_normals=True,
+        lpips_fn=lpips_fn,
+        guidance_fn=guidance_fn,
+        # Production execution mode: the no-grad SDS half runs as its
+        # own program with the diffusion weights as jit arguments.  With
+        # selective remat (only the ~12 MB/view post-sort gathers saved)
+        # the full vmap-4 gen batch fits next to the resident diffusion
+        # weights and measures ~9% faster than sequential chunks of 2
+        # (0.946 vs 0.869 steps/s).
+        split_sds=guidance_fn is not None,
+        gen_chunk=None,
+        # GT residuals fit next to the (CLIP-freed) diffusion weights;
+        # keeping them saves the GT re-render in the backward (~10%).
+        remat_gt=False,
+    )
+    fn = jax.jit(raw)
+    # NOTE: donate_argnums=(0,) would halve state memory, but the
+    # axon remote transport host-copies donated buffers and races
+    # their deletion ("Array has been deleted"); leave undonated.
+    # Fused no-grad half (renders + VAE + UNet target, one program,
+    # weights as jit args) — 2 dispatches/step, not 3.
+    prelude = (
+        guidance_fn.make_fused_prelude(raw.sds_prelude)
+        if raw.sds_prelude is not None
+        else None
+    )
+    return state, fn, prelude, guidance_fn
+
+
+def time_steps(
+    ds,
+    model,
+    state,
+    step_fn,
+    prelude,
+    guidance_fn,
+    label,
+    iters=10,
+    deadline=None,
+):
+    """Time the step.  Returns ``(steps_per_s, canaries_dict)``.
+
+    Best-of-N batches (shared TPU tenancy shows ~3-7x run-to-run variance;
+    single batches under-report badly); ``deadline`` (absolute
+    ``time.time()`` value) trims batches — at least one always runs so a
+    compile-heavy phase still yields a (flagged) number."""
+    import jax
+    import jax.numpy as jnp
+
+    from soar_tpu.train.trainer import make_gt_batch
+
+    key = jax.random.PRNGKey(0)
+    batch = make_gt_batch(ds, model, 0)
+    ref_ip = None
+    if prelude is not None and guidance_fn.embed_ref is not None:
+        # Per-frame ip tokens are precomputed once in production
+        # (cli.train); one frame here, then the CLIP tower is freed.
+        ref_ip = jax.block_until_ready(
+            guidance_fn.embed_ref(jnp.asarray(ds.normal_F[0]))
         )
-        fn = jax.jit(raw)
-        # NOTE: donate_argnums=(0,) would halve state memory, but the
-        # axon remote transport host-copies donated buffers and races
-        # their deletion ("Array has been deleted"); leave undonated.
-        # Fused no-grad half (renders + VAE + UNet target, one program,
-        # weights as jit args) — 2 dispatches/step, not 3.
-        prelude = (
-            guidance_fn.make_fused_prelude(raw.sds_prelude)
-            if raw.sds_prelude is not None
-            else None
-        )
-        return state, fn, prelude, guidance_fn
+        guidance_fn.release_image_encoder()
 
-    def time_steps(state, step_fn, prelude, guidance_fn, label, iters=10):
-        key = jax.random.PRNGKey(0)
-        batch = make_gt_batch(ds, model, 0)
-        ref_ip = None
-        if prelude is not None and guidance_fn.embed_ref is not None:
-            # Per-frame ip tokens are precomputed once in production
-            # (cli.train); one frame here, then the CLIP tower is freed.
-            ref_ip = jax.block_until_ready(
-                guidance_fn.embed_ref(jnp.asarray(ds.normal_F[0]))
-            )
-            guidance_fn.release_image_encoder()
+    def one_step(state, batch, k):
+        if prelude is not None:
+            batch = dict(batch)
+            batch["sds_target"] = prelude(state, batch, k, ref_ip=ref_ip)
+        return step_fn(state, batch, k)
 
-        def one_step(state, batch, k):
-            if prelude is not None:
-                batch = dict(batch)
-                batch["sds_target"] = prelude(state, batch, k, ref_ip=ref_ip)
-            return step_fn(state, batch, k)
-
+    t0 = time.time()
+    state, metrics = one_step(state, batch, key)
+    l = float(metrics["loss"])
+    compile_s = time.time() - t0
+    print(f"[{label}] compile+1st: {compile_s:.1f}s loss={l:.4f}",
+          file=sys.stderr)
+    dt = float("inf")
+    batches = 0
+    for _rep in range(3):
+        est = iters / (iters / dt) if dt != float("inf") else None
+        if (
+            batches >= 1
+            and deadline is not None
+            and est is not None
+            and time.time() + est > deadline
+        ):
+            break
         t0 = time.time()
-        state, metrics = one_step(state, batch, key)
+        for _ in range(iters):
+            key, k1 = jax.random.split(key)
+            state, metrics = one_step(state, batch, k1)
         l = float(metrics["loss"])
-        print(f"[{label}] compile+1st: {time.time()-t0:.1f}s loss={l:.4f}",
-              file=sys.stderr)
-        # Best of 3 batches (shared TPU tenancy shows ~3-7x run-to-run
-        # variance; single batches under-report badly).
-        dt = float("inf")
-        for _rep in range(3):
-            t0 = time.time()
-            for _ in range(iters):
-                key, k1 = jax.random.split(key)
-                state, metrics = one_step(state, batch, k1)
-            l = float(metrics["loss"])
-            assert l == l, "loss is NaN"
-            dt = min(dt, time.time() - t0)
-        capped = float(metrics["raster_capped"])
-        assert capped == 0.0, (
-            f"rasterizer footprint overflow ({capped} capped surfels) — "
-            "raise dup_side"
-        )
-        return iters / dt, float(metrics["raster_dropped"])
+        dt = min(dt, time.time() - t0)
+        batches += 1
+    capped = float(metrics["raster_capped"])
+    canaries = {
+        # capped surfels = visible holes: must be 0 for the number to count
+        # as a correct image; REPORTED (not asserted) so a tripped canary
+        # flags the artifact instead of destroying it.
+        "raster_capped": capped,
+        "raster_capped_ok": capped == 0.0,
+        "raster_dropped_far_splats": float(metrics["raster_dropped"]),
+        "loss_finite": bool(l == l),
+        f"compile_first_step_s_{label.replace('-', '_')}": round(compile_s, 1),
+        f"timing_batches_{label.replace('-', '_')}": batches,
+    }
+    return iters / dt, canaries
+
+
+def phase_no_sds(scene, lpips_fn, deadline=None):
+    """Phase: guidance-free production step.  Returns a result fragment."""
+    from soar_tpu.train.config import StageConfig
+
+    params, model, ds, cfg = scene
+    state, fn, prelude, g = build_step(
+        params, model, ds, cfg, None, StageConfig(training_stage=0), lpips_fn
+    )
+    s, canaries = time_steps(
+        ds, model, state, fn, prelude, g, "no-sds", deadline=deadline
+    )
+    frag = {
+        "train_step_no_sds_steps_per_s": round(s, 3),
+        "train_step_no_sds_vs_baseline": round(s / 0.83, 3),
+        "minutes_per_2000_steps_no_sds": round(2000 / s / 60, 1),
+    }
+    frag.update(canaries)
+    return frag, s
+
+
+def phase_sds(scene, lpips_fn, deadline=None):
+    """Phase: full ImageDream-SDS production step.  Returns a fragment."""
+    import jax
+    import jax.numpy as jnp
+
+    from soar_tpu.guidance.build import build_guidance
+    from soar_tpu.train.config import StageConfig
+
+    params, model, ds, cfg = scene
+    stage = StageConfig(training_stage=0, sds_start=0)
+    guidance_fn = build_guidance(
+        "imagedream",
+        stage,
+        key=jax.random.PRNGKey(1),
+        mock=True,
+        image_size=256,
+        n_view=4,
+        dtype=jnp.bfloat16,
+    )
+    state, fn, prelude, g = build_step(
+        params, model, ds, cfg, guidance_fn, stage, lpips_fn
+    )
+    s, canaries = time_steps(
+        ds, model, state, fn, prelude, g, "sds", iters=5, deadline=deadline
+    )
+    frag = {"train_step_sds_on_steps_per_s": round(s, 3)}
+    for k, v in canaries.items():
+        if k.startswith(("compile_", "timing_")) or not k.startswith(
+            ("raster_", "loss_")
+        ):
+            frag[k] = v
+        else:
+            frag[k + "_sds"] = v
+    return frag, s
+
+
+def schedule_average(s_plain, s_sds, n_surfels):
+    """The reference's 0.83 steps/s is a SCHEDULE AVERAGE: its ~40 min
+    covers 1000 s0 + 1000 s1 steps (``..._s0.yaml:137``), with SDS gated
+    off for s0's first 500 steps (``gaussian_surfel_mvdream.py:53,441``)
+    — i.e. 500 no-SDS + 1500 SDS steps.  The apples-to-apples headline is
+    therefore OUR average over the same 500/1500 mix."""
+    e2e_min = (500.0 / s_plain + 1500.0 / s_sds) / 60.0
+    s_avg = 2000.0 / (e2e_min * 60.0)
+    return {
+        "metric": f"train_2000step_schedule_avg_512px_{n_surfels}surfels",
+        "value": round(s_avg, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(s_avg / 0.83, 3),
+        "end_to_end_2000step_minutes": round(e2e_min, 1),
+        "train_step_sds_on_vs_baseline_avg": round(s_sds / 0.83, 3),
+    }
+
+
+def run(include_sds: bool = True, emit=None, budget_s: float = None):
+    """Phased runner (kept for direct invocation and older callers).
+
+    ``emit(dict)`` is called with the cumulative result after each phase;
+    returns the final dict."""
+    deadline = time.time() + budget_s if budget_s else None
+    scene = build_scene()
+    n = int(scene[0].xyz.shape[0])
+    lpips_fn = _random_lpips_fn()
 
     result = {}
-    # no-SDS (secondary): all losses incl. normal-LPIPS, no guidance.
-    s_plain, dropped = time_steps(
-        *build(None, StageConfig(training_stage=0)), "no-sds"
+    frag, s_plain = phase_no_sds(scene, lpips_fn, deadline)
+    result.update(frag)
+    result.update(
+        {
+            "metric": f"train_step_no_sds_512px_{n}surfels",
+            "value": result["train_step_no_sds_steps_per_s"],
+            "unit": "steps/s",
+            "vs_baseline": result["train_step_no_sds_vs_baseline"],
+        }
     )
-    result["train_step_no_sds_steps_per_s"] = round(s_plain, 3)
-    result["train_step_no_sds_vs_baseline"] = round(s_plain / 0.83, 3)
-    result["raster_dropped_far_splats"] = dropped
+    if emit:
+        emit(result)
 
-    if include_sds:
-        from soar_tpu.guidance.build import build_guidance
-
-        stage = StageConfig(training_stage=0, sds_start=0)
-        guidance_fn = build_guidance(
-            "imagedream",
-            stage,
-            key=jax.random.PRNGKey(1),
-            mock=True,
-            image_size=256,
-            n_view=4,
-            dtype=jnp.bfloat16,
-        )
-        s_sds, _ = time_steps(*build(guidance_fn, stage), "sds", iters=5)
-        # The reference's 0.83 steps/s is a SCHEDULE AVERAGE: its ~40 min
-        # covers 1000 s0 + 1000 s1 steps (``..._s0.yaml:137``), with SDS
-        # gated off for s0's first 500 steps
-        # (``gaussian_surfel_mvdream.py:53,441``) — i.e. 500 no-SDS + 1500
-        # SDS steps.  The apples-to-apples headline is therefore OUR average
-        # over the same 500/1500 mix; the SDS-on-step rate rides along.
-        e2e_min = (500.0 / s_plain + 1500.0 / s_sds) / 60.0
-        s_avg = 2000.0 / (e2e_min * 60.0)
-        result.update(
-            {
-                "metric": f"train_2000step_schedule_avg_512px_{n}surfels",
-                "value": round(s_avg, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(s_avg / 0.83, 3),
-                "end_to_end_2000step_minutes": round(e2e_min, 1),
-                "train_step_sds_on_steps_per_s": round(s_sds, 3),
-                "train_step_sds_on_vs_baseline_avg": round(s_sds / 0.83, 3),
-            }
-        )
-    else:
-        result.update(
-            {
-                "metric": f"train_step_no_sds_512px_{n}surfels",
-                "value": round(s_plain, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(s_plain / 0.83, 3),
-                "minutes_per_2000_steps": round(2000 / s_plain / 60, 1),
-            }
-        )
+    if include_sds and (deadline is None or time.time() < deadline - 30):
+        frag, s_sds = phase_sds(scene, lpips_fn, deadline)
+        result.update(frag)
+        result.update(schedule_average(s_plain, s_sds, n))
+        if emit:
+            emit(result)
     return result
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    print(json.dumps(run(emit=lambda d: None)))
