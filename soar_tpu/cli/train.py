@@ -186,6 +186,19 @@ def main(argv=None):
         help="rasterizer composite implementation (RasterConfig.composite): "
         "dense XLA cumprod vs the fused blocked-Pallas kernel",
     )
+    ap.add_argument(
+        "--gt-cache", type=str, default="auto",
+        choices=["auto", "pin", "pin-u8", "lru"],
+        help="per-frame GT batch device cache: pin = ALL frames resident "
+        "in HBM (one upload, per-step cost = one on-device gather), pin-u8 "
+        "= pinned with uint8 image storage (4x smaller; exact for "
+        "8-bit-sourced data), lru = 32-frame LRU (re-uploads on miss), "
+        "auto = pin if it fits --gt-cache-mb, else pin-u8, else lru",
+    )
+    ap.add_argument(
+        "--gt-cache-mb", type=int, default=4096,
+        help="HBM budget for the pinned GT cache in auto mode",
+    )
     args = ap.parse_args(argv)
 
     guidance_from_yaml = False
@@ -512,12 +525,39 @@ def main(argv=None):
 
         key = jax.random.PRNGKey(args.seed + st)
         rng = np.random.RandomState(args.seed + st)
-        # Per-frame GT batches are immutable after load — cache the device
-        # arrays (LRU-capped: ~5 MB/frame at 512px, so a long monocular
-        # capture must not pin GBs of HBM) instead of re-uploading
-        # identical tensors every step.
+        # Per-frame GT batches are immutable after load.  Preferred: pin the
+        # WHOLE sequence in HBM as one stacked pytree (the reference samples
+        # ~400 frames uniformly; a 32-frame LRU hits ~8% and most steps
+        # re-pay host assembly + H2D upload).  Per-step cost becomes one
+        # tiny on-device gather.  Falls back to uint8 pinned storage (4x
+        # smaller; exact for 8-bit-sourced data) then to the LRU when the
+        # stack exceeds --gt-cache-mb.
         from collections import OrderedDict
 
+        from ..train.trainer import gt_stack_nbytes, make_gt_batch_stack
+
+        budget = args.gt_cache_mb * (1 << 20)
+        nf = len(ds.train_idx)
+        mode = args.gt_cache
+        if mode == "auto":
+            if gt_stack_nbytes(ds, model, nf, ip_table=ip_table) <= budget:
+                mode = "pin"
+            elif gt_stack_nbytes(
+                ds, model, nf, store_u8=True, ip_table=ip_table
+            ) <= budget:
+                mode = "pin-u8"
+            else:
+                mode = "lru"
+        gt_stack = gt_select = gt_pos = None
+        if mode in ("pin", "pin-u8"):
+            gt_stack, gt_select, gt_pos = make_gt_batch_stack(
+                ds, model, ds.train_idx,
+                store_u8=(mode == "pin-u8"), ip_table=ip_table,
+            )
+            print(
+                f"gt-cache: pinned {nf} frames on device ({mode}, "
+                f"{sum(l.size * l.dtype.itemsize for l in jax.tree_util.tree_leaves(gt_stack)) / 1e6:.0f} MB)"
+            )
         batch_cache = OrderedDict()
         BATCH_CACHE_MAX = 32
         t0 = time.time()
@@ -543,21 +583,25 @@ def main(argv=None):
         mesh_ctx.__enter__()
         state = _rep(state)
         gparams = _rep(gparams) if gparams is not None else None
+        gt_stack = _rep(gt_stack) if gt_stack is not None else None
         for it in range(start_it, n_steps):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
             with timer.phase("batch"):
-                base = batch_cache.get(frame)
-                if base is None:
-                    base = make_gt_batch(ds, model, frame)
-                    if ip_table is not None:
-                        base["ref_ip"] = jnp.asarray(ip_table[frame])
-                    base = _rep(base)
-                    batch_cache[frame] = base
-                    if len(batch_cache) > BATCH_CACHE_MAX:
-                        batch_cache.popitem(last=False)
+                if gt_select is not None:
+                    base = gt_select(gt_stack, gt_pos[frame])
                 else:
-                    batch_cache.move_to_end(frame)
+                    base = batch_cache.get(frame)
+                    if base is None:
+                        base = make_gt_batch(ds, model, frame)
+                        if ip_table is not None:
+                            base["ref_ip"] = jnp.asarray(ip_table[frame])
+                        base = _rep(base)
+                        batch_cache[frame] = base
+                        if len(batch_cache) > BATCH_CACHE_MAX:
+                            batch_cache.popitem(last=False)
+                    else:
+                        batch_cache.move_to_end(frame)
                 # Shallow copy: the loop adds per-step keys (sds_target).
                 batch = dict(base)
             with timer.phase("step"):

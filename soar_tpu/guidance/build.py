@@ -102,21 +102,117 @@ def _cpu_device():
         return None
 
 
+def _random_like_on_device(key: jax.Array, shape_tree, dtype) -> Dict:
+    """Generate a random variable pytree matching ``shape_tree`` (a pytree of
+    ``ShapeDtypeStruct``, e.g. from :func:`jax.eval_shape` over a flax
+    ``init``) DIRECTLY on the default device, float leaves in ``dtype``.
+
+    One compiled program, no constants: nothing is materialized on the host
+    and nothing crosses the host->device link but the PRNG key.  This is the
+    transport-safe mock init — host-CPU flax init + upload of the full-shape
+    320-ch UNet / ViT-H shipped ~2-3 GB over the remote-device tunnel and
+    dominated bench startup (~5 min measured).
+
+    Distributions are a shape heuristic, not flax's per-module initializers
+    (``scale``→1, ``bias``→0, kernels ~ N(0, 0.2²/fan_in)): every norm layer
+    re-normalizes activations, so mock forward passes stay finite; only the
+    architecture's COST is exercised, values are meaningless by design."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shape_tree)
+
+    def gen(k):
+        out = []
+        for i, (path, leaf) in enumerate(flat):
+            name = ""
+            for entry in reversed(path):
+                key_attr = getattr(entry, "key", None)
+                if isinstance(key_attr, str):
+                    name = key_attr
+                    break
+            if not jnp.issubdtype(leaf.dtype, jnp.floating):
+                out.append(jnp.zeros(leaf.shape, leaf.dtype))
+            elif name == "scale":
+                out.append(jnp.ones(leaf.shape, dtype))
+            elif name == "bias":
+                out.append(jnp.zeros(leaf.shape, dtype))
+            else:
+                fan_in = 1
+                for d in (leaf.shape[:-1] if len(leaf.shape) > 1 else leaf.shape):
+                    fan_in *= int(d)
+                std = 0.2 / (max(fan_in, 1) ** 0.5)
+                out.append(
+                    std
+                    * jax.random.normal(
+                        jax.random.fold_in(k, i), leaf.shape, dtype
+                    )
+                )
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return jax.jit(gen)(key)
+
+
+def _mock_unet_vae_shapes(shapes: NetworkShapes, n_view: int, with_ip: bool):
+    """Abstract (shape-only) flax init of UNet + VAE — no FLOPs, no weights;
+    dummies are passed as ``eval_shape`` ARGUMENTS so tracing stays abstract
+    while ``num_frames`` (used statically in reshapes) stays a Python int."""
+    hw = shapes.latent_size
+    dummy_lat = jnp.zeros((2 * n_view, hw, hw, 4))
+    dummy_t = jnp.zeros((2 * n_view,), jnp.int32)
+    dummy_c77 = jnp.zeros((2 * n_view, 77, shapes.context_dim))
+    dummy_cam = jnp.zeros((2 * n_view, 16))
+    dummy_ip = (
+        jnp.zeros(
+            (2 * n_view, shapes.resampler_cfg.num_queries,
+             shapes.resampler_cfg.output_dim)
+        )
+        if with_ip
+        else None
+    )
+
+    def unet_init(k, lat, t, c77, cam, ip):
+        ctx = {"context": c77, "camera": cam, "num_frames": n_view}
+        if ip is not None:
+            ctx["ip"] = ip
+        return shapes.unet.init(k, lat, t, ctx)
+
+    unet_shapes = jax.eval_shape(
+        unet_init, jax.random.PRNGKey(0), dummy_lat, dummy_t, dummy_c77,
+        dummy_cam, dummy_ip,
+    )
+    dummy_img = jnp.zeros((n_view, 8 * hw, 8 * hw, 3))
+    vae_shapes = jax.eval_shape(
+        shapes.vae.init, jax.random.PRNGKey(0), dummy_img
+    )
+    return unet_shapes, vae_shapes
+
+
 def init_mock_networks(
     key: jax.Array, shapes: NetworkShapes, n_view: int = 4,
-    with_ip: bool = False,
+    with_ip: bool = False, on_device_dtype=None,
 ) -> Dict:
     """Random-init UNet + VAE variables at the given shapes.  ``with_ip``
     initializes the ipmv variant (decoupled to_k_ip/to_v_ip projections on
-    every cross-attention) — required for ImageDream.  Runs on the host CPU
-    backend: initializing the full 320-ch UNet on the TPU costs a ~6-minute
-    remote compile of the init program and doubles peak HBM."""
+    every cross-attention) — required for ImageDream.
+
+    ``on_device_dtype=None`` (tests / tiny shapes): flax's real initializers
+    on the host CPU backend — initializing the full 320-ch UNet on the TPU
+    costs a ~6-minute remote compile of the init program and doubles peak
+    HBM.  ``on_device_dtype=<dtype>`` (full-shape bench): shape-only
+    ``eval_shape`` + :func:`_random_like_on_device`, so the ~GB of mock
+    weights are BORN on the accelerator in the compute dtype instead of
+    being uploaded through the remote-device tunnel."""
     import contextlib
+
+    ku, kv = jax.random.split(key)
+    if on_device_dtype is not None:
+        unet_shapes, vae_shapes = _mock_unet_vae_shapes(shapes, n_view, with_ip)
+        return {
+            "unet": _random_like_on_device(ku, unet_shapes, on_device_dtype),
+            "vae": _random_like_on_device(kv, vae_shapes, on_device_dtype),
+        }
 
     cpu = _cpu_device()
     ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     with ctx:
-        ku, kv = jax.random.split(key)
         hw = shapes.latent_size
         dummy_lat = jnp.zeros((2 * n_view, hw, hw, 4))
         dummy_t = jnp.zeros((2 * n_view,), jnp.int32)
@@ -212,7 +308,10 @@ def build_guidance(
         variables = load_guidance_checkpoint(ckpt_path, shapes)
     elif mock or tiny:
         variables = init_mock_networks(
-            k_net, shapes, n_view=n_view, with_ip=(kind == "imagedream")
+            k_net, shapes, n_view=n_view, with_ip=(kind == "imagedream"),
+            # Full-shape mock weights are BORN on the accelerator in the
+            # compute dtype (tiny stays on flax's real CPU initializers).
+            on_device_dtype=None if tiny else dtype,
         )
     else:
         raise ValueError(
@@ -262,7 +361,8 @@ def build_guidance(
             )
         else:
             clip_v, res_v = _mock_clip_vars(
-                k_clip, shapes.clip_cfg, shapes.resampler_cfg
+                k_clip, shapes.clip_cfg, shapes.resampler_cfg,
+                on_device_dtype=None if tiny else dtype,
             )
         _enc_holder["clip"] = jax.device_put(_cast_tree(clip_v, dtype))
         _enc_holder["res"] = jax.device_put(_cast_tree(res_v, dtype))
@@ -451,20 +551,34 @@ def build_guidance(
     return _assemble(stage)
 
 
-def _mock_clip_vars(key, clip_cfg, resampler_cfg):
-    """Random-init CLIP + Resampler variable trees (on the CPU backend;
-    see :func:`init_mock_networks`)."""
+def _mock_clip_vars(key, clip_cfg, resampler_cfg, on_device_dtype=None):
+    """Random-init CLIP + Resampler variable trees.  ``on_device_dtype``
+    picks between flax's real initializers on the CPU backend (tests) and
+    shape-only on-device generation (full-shape ViT-H ~1.3 GB — see
+    :func:`init_mock_networks`)."""
     import contextlib
 
     from .clip_vit import CLIPViT, Resampler
 
+    k1, k2 = jax.random.split(key)
+    dummy_img = jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3))
+    n_tok = 1 + (clip_cfg.image_size // clip_cfg.patch_size) ** 2
+    dummy_tok = jnp.zeros((1, n_tok, clip_cfg.width))
+    if on_device_dtype is not None:
+        clip_shapes = jax.eval_shape(
+            CLIPViT(clip_cfg).init, jax.random.PRNGKey(0), dummy_img
+        )
+        res_shapes = jax.eval_shape(
+            Resampler(resampler_cfg).init, jax.random.PRNGKey(0), dummy_tok
+        )
+        return (
+            _random_like_on_device(k1, clip_shapes, on_device_dtype),
+            _random_like_on_device(k2, res_shapes, on_device_dtype),
+        )
+
     cpu = _cpu_device()
     ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     with ctx:
-        k1, k2 = jax.random.split(key)
-        dummy_img = jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3))
         clip_vars = CLIPViT(clip_cfg).init(k1, dummy_img)
-        n_tok = 1 + (clip_cfg.image_size // clip_cfg.patch_size) ** 2
-        dummy_tok = jnp.zeros((1, n_tok, clip_cfg.width))
         res_vars = Resampler(resampler_cfg).init(k2, dummy_tok)
         return clip_vars, res_vars

@@ -223,11 +223,24 @@ from ..core.torch_convert import lin as _lin, norm as _ln  # noqa: E402
 
 
 def convert_clip_vit_torch_params(
-    sd: Dict, cfg: CLIPVisionConfig, prefix: str = "visual."
+    sd: Dict, cfg: CLIPVisionConfig, prefix: str = "visual.",
+    features: str = "penultimate",
 ) -> Dict:
     """Map an open_clip ``VisionTransformer`` state_dict (keys
     ``visual.conv1.weight``, ``visual.transformer.resblocks.{i}.*``, ...)
-    onto :class:`CLIPViT` variables."""
+    onto :class:`CLIPViT` variables.  Validated against
+    :func:`soar_tpu.guidance.manifest.clip_vit_h_key_manifest`; missing keys
+    raise with near-miss suggestions, unconsumed ``prefix`` keys warn.
+
+    ``features`` must match the :class:`CLIPViT` mode the variables will be
+    applied with: in the default ``"penultimate"`` mode (ImageDream ip
+    tokens) the LAST resblock, ``ln_post`` and ``proj`` are deliberately
+    dropped — the model never runs them (open_clip ViT-H token features are
+    taken before the final block)."""
+    from .manifest import track
+
+    sd = track(sd, "CLIP-ViT state_dict")
+    n_emit = cfg.layers - 1 if features == "penultimate" else cfg.layers
     p: Dict = {
         "conv1": {
             "kernel": np.transpose(
@@ -244,7 +257,7 @@ def convert_clip_vit_torch_params(
             break
         in_w = np.asarray(sd[rb + ".attn.in_proj_weight"])
         in_b = np.asarray(sd[rb + ".attn.in_proj_bias"])
-        p[f"resblock_{i}"] = {
+        block = {
             "ln_1": _ln(sd, rb + ".ln_1"),
             "attn": {
                 "in_proj": {"kernel": in_w.T, "bias": in_b},
@@ -254,10 +267,22 @@ def convert_clip_vit_torch_params(
             "c_fc": _lin(sd, rb + ".mlp.c_fc"),
             "c_proj": _lin(sd, rb + ".mlp.c_proj"),
         }
+        if i < n_emit:
+            p[f"resblock_{i}"] = block
+        # else: consumed above (accounting) but deliberately dropped —
+        # penultimate-feature extraction never runs the final block.
     if prefix + "ln_post.weight" in sd:
-        p["ln_post"] = _ln(sd, prefix + "ln_post")
+        ln_post = _ln(sd, prefix + "ln_post")
+        if features != "penultimate":
+            p["ln_post"] = ln_post
     if prefix + "proj" in sd:
-        p["proj"] = np.asarray(sd[prefix + "proj"])
+        proj = np.asarray(sd[prefix + "proj"])
+        if features == "pooled":
+            p["proj"] = proj
+    # The ipmv checkpoint embeds the WHOLE open_clip model; everything
+    # outside the visual tower (text transformer, logit_scale, ...) is an
+    # expected leftover — only report dropped keys under our prefix.
+    sd.warn_unconsumed(only_prefix=prefix)
     return {"params": p}
 
 
@@ -266,7 +291,11 @@ def convert_resampler_torch_params(
 ) -> Dict:
     """Map the IP-Adapter ``Resampler`` state_dict (``latents``, ``proj_in``,
     ``layers.{i}.0`` = PerceiverAttention, ``layers.{i}.1`` = LN+FF
-    Sequential) onto :class:`Resampler` variables."""
+    Sequential) onto :class:`Resampler` variables.  Validated against
+    :func:`soar_tpu.guidance.manifest.resampler_key_manifest`."""
+    from .manifest import track
+
+    sd = track(sd, "Resampler state_dict")
     lat = np.asarray(sd[prefix + "latents"])
     p: Dict = {
         "latents": lat[0] if lat.ndim == 3 else lat,
@@ -289,6 +318,7 @@ def convert_resampler_torch_params(
             "fc1": _lin(sd, f + ".1"),
             "fc2": _lin(sd, f + ".3"),
         }
+    sd.warn_unconsumed(only_prefix=prefix)
     return {"params": p}
 
 

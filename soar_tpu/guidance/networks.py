@@ -365,9 +365,15 @@ from ..core.torch_convert import conv_kernel as _conv_kernel  # noqa: E402
 def convert_vae_torch_params(sd: Dict) -> Dict:
     """Map an LDM first-stage (AutoencoderKL) torch state_dict onto
     :class:`VAEEncoder` variables.  Keys follow the CompVis/LDM naming
-    (``encoder.down.{i}.block.{j}.*``, ``encoder.mid.*``, ``quant_conv``)."""
+    (``encoder.down.{i}.block.{j}.*``, ``encoder.mid.*``, ``quant_conv``);
+    validated against :func:`soar_tpu.guidance.manifest.vae_encoder_key_manifest`.
+    Missing keys raise with near-miss suggestions; unconsumed encoder keys
+    warn (the DECODER subtree is expected to remain unconsumed)."""
     import numpy as np
 
+    from .manifest import track
+
+    sd = track(sd, "VAE state_dict")
     p: Dict = {}
 
     def conv(prefix):
@@ -419,6 +425,9 @@ def convert_vae_torch_params(sd: Dict) -> Dict:
     p["out_norm"] = gn("encoder.norm_out")
     p["conv_out"] = conv("encoder.conv_out")
     p["quant_conv"] = conv("quant_conv")
+    # Only the encoder half is used for SDS; decoder/post_quant keys in a
+    # full AutoencoderKL dict are expected leftovers.
+    sd.warn_unconsumed(ignore_prefixes=("decoder.", "post_quant_conv", "loss."))
     return {"params": p}
 
 
@@ -433,9 +442,14 @@ def convert_unet_torch_params(
     this walks them in the exact construction order of
     :class:`MultiViewUNet.__call__` (same order the torch ``UNetModel``
     constructor uses).  Validated by a flax->torch-layout round-trip test
-    (``tests/test_guidance_networks.py``)."""
+    (``tests/test_guidance_networks.py``) AND against the upstream-transcribed
+    key manifest (:func:`soar_tpu.guidance.manifest.unet_key_manifest`).
+    Missing keys raise with near-miss suggestions; unconsumed keys warn."""
     import numpy as np
 
+    from .manifest import track
+
+    sd = track(sd, "UNet state_dict")
     u = unet or MultiViewUNet()
     p: Dict = {}
 
@@ -546,4 +560,5 @@ def convert_unet_torch_params(
 
     p["out_norm"] = gn("out.0")
     p["out_conv"] = conv("out.2")
+    sd.warn_unconsumed()
     return {"params": p}

@@ -473,7 +473,16 @@ from ..core.torch_convert import (  # noqa: E402
 
 def convert_sam_params(sd: Dict, cfg: SAMConfig = SAMConfig()) -> Dict:
     """Map the official ``sam_vit_h`` state_dict onto :class:`SAM` variables
-    (keys per segment_anything's modeling/)."""
+    (keys per segment_anything's modeling/).  Validated against
+    :func:`soar_tpu.guidance.manifest.sam_vit_h_key_manifest`; missing keys
+    raise with near-miss suggestions.  The box-corner point embeddings and
+    the mask-prompt downscaling path are EXPECTED leftovers (the preproc
+    predictor prompts with points only, matching the reference's usage at
+    ``/root/reference/preproc/compute_kp_and_mask.py:52-67``); anything else
+    unconsumed warns."""
+    from ..guidance.manifest import track
+
+    sd = track(sd, "SAM state_dict")
     enc: Dict = {
         "patch_embed": _conv(sd, "image_encoder.patch_embed.proj"),
         "pos_embed": np.asarray(sd["image_encoder.pos_embed"]),
@@ -553,6 +562,13 @@ def convert_sam_params(sd: Dict, cfg: SAMConfig = SAMConfig()) -> Dict:
             for j in range(3)
         }
 
+    sd.warn_unconsumed(
+        ignore_prefixes=(
+            "prompt_encoder.point_embeddings.2.",
+            "prompt_encoder.point_embeddings.3.",
+            "prompt_encoder.mask_downscaling.",
+        )
+    )
     return {
         "params": {
             "image_encoder": enc,

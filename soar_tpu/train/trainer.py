@@ -648,3 +648,109 @@ def make_gt_batch(ds, model: AvatarModel, frame_idx: int) -> Dict:
             # gt_normal_B = None); key absent -> the nB loss is untraced.
             batch["gt_normal_B"] = jnp.asarray(ds.normal_B[frame_idx])
     return batch
+
+
+# Image-like batch keys eligible for uint8 pinned storage.  8-bit-sourced
+# data (video frames, masks, normal-map pngs) round-trips EXACTLY through
+# round(x*255)/255; synthetic float data changes by <= 1/510.
+_GT_U8_KEYS = (
+    "gt_rgb",
+    "gt_mask",
+    "gt_rgb_crop",
+    "gt_mask_crop",
+    "gt_normal_F",
+    "gt_normal_B",
+    "gt_normal_mask",
+)
+
+
+def make_gt_batch_stack(
+    ds,
+    model: AvatarModel,
+    frames,
+    store_u8: bool = False,
+    ip_table=None,
+):
+    """Pin EVERY per-frame GT batch in HBM as one stacked pytree and return
+    ``(stacked, select_fn, pos_of)``.
+
+    The reference workload samples ~400 frames uniformly at random; an LRU
+    device cache of 32 hits ~8% and most steps re-pay host-side batch
+    assembly + H2D upload (round-2 verdict #5).  Pinning turns the per-step
+    batch cost into one tiny on-device gather program:
+    ``select_fn(stacked, pos)`` with ``pos = pos_of[frame_idx]``.
+
+    ``store_u8=True`` stores the image-like keys (``_GT_U8_KEYS``) as uint8
+    (4x smaller; exact at 8-bit precision for 8-bit-sourced data, modulo a
+    <=1-ulp float residue from XLA's reciprocal-multiply dequantization)
+    and dequantizes inside the select program.  ``ip_table`` ([F_total, n_tok, D] numpy) rides along as
+    a stacked ``ref_ip`` key.
+
+    Assembly runs on the host CPU backend so the (possibly multi-GB) stack
+    crosses to the accelerator in ONE transfer."""
+    import contextlib
+
+    frames = [int(f) for f in frames]
+    pos_of = {f: i for i, f in enumerate(frames)}
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        per_frame = [make_gt_batch(ds, model, f) for f in frames]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *per_frame
+        )
+        u8_keys = ()
+        if store_u8:
+            u8_keys = tuple(k for k in _GT_U8_KEYS if k in stacked)
+            for k in u8_keys:
+                # Clamp before the cast: composited renders can exceed 1.0
+                # by an ulp and 256 would WRAP to 0 in uint8.
+                stacked[k] = jnp.clip(
+                    jnp.round(stacked[k] * 255.0), 0.0, 255.0
+                ).astype(jnp.uint8)
+        if ip_table is not None:
+            stacked["ref_ip"] = jnp.stack(
+                [jnp.asarray(ip_table[f]) for f in frames]
+            )
+    stacked = jax.device_put(stacked)
+
+    @jax.jit
+    def select(stacked, pos):
+        out = {}
+        for k, v in stacked.items():
+            x = jax.tree_util.tree_map(lambda a: a[pos], v)
+            if k in u8_keys:
+                x = x.astype(jnp.float32) / 255.0
+            out[k] = x
+        return out
+
+    return stacked, select, pos_of
+
+
+def gt_stack_nbytes(ds, model: AvatarModel, n_frames: int,
+                    store_u8: bool = False, ip_table=None) -> int:
+    """Estimated device bytes of :func:`make_gt_batch_stack` for
+    ``n_frames`` frames (one host probe batch, no device traffic)."""
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        probe = make_gt_batch(ds, model, 0)
+    total = 0
+    for k, v in probe.items():
+        for leaf in jax.tree_util.tree_leaves(v):
+            n = leaf.size * leaf.dtype.itemsize
+            if store_u8 and k in _GT_U8_KEYS:
+                n = leaf.size
+            total += n
+    if ip_table is not None:
+        total += ip_table[0].size * 4
+    return total * n_frames

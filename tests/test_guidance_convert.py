@@ -351,3 +351,50 @@ def test_resampler_converter_roundtrip():
         np.asarray(model.apply(restored, x)),
         atol=1e-5,
     )
+
+
+def test_on_device_mock_init_matches_cpu_init_structure():
+    """The transport-safe on-device mock init (shape-only eval_shape +
+    single-program RNG; used for the full-shape bench networks) must produce
+    EXACTLY the variable tree of the flax CPU init — same treedef, same
+    shapes, float leaves in the requested dtype, all finite."""
+    from soar_tpu.guidance.build import NetworkShapes, init_mock_networks
+
+    shapes = NetworkShapes.tiny(32)
+    key = jax.random.PRNGKey(0)
+    ref = init_mock_networks(key, shapes, n_view=4, with_ip=True)
+    dev = init_mock_networks(
+        key, shapes, n_view=4, with_ip=True, on_device_dtype=jnp.bfloat16
+    )
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(
+        dev
+    )
+    for (pr, a), (pd, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref),
+        jax.tree_util.tree_leaves_with_path(dev),
+    ):
+        assert a.shape == b.shape, (pr, a.shape, b.shape)
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            assert b.dtype == jnp.bfloat16, (pd, b.dtype)
+            assert np.all(np.isfinite(np.asarray(b, np.float32))), pd
+
+
+def test_on_device_mock_clip_matches_cpu_init_structure():
+    from soar_tpu.guidance.build import _mock_clip_vars
+
+    key = jax.random.PRNGKey(1)
+    clip_cfg = CLIPVisionConfig.tiny()
+    res_cfg = ResamplerConfig.tiny()
+    c_ref, r_ref = _mock_clip_vars(key, clip_cfg, res_cfg)
+    c_dev, r_dev = _mock_clip_vars(
+        key, clip_cfg, res_cfg, on_device_dtype=jnp.bfloat16
+    )
+    for ref, dev in ((c_ref, c_dev), (r_ref, r_dev)):
+        assert jax.tree_util.tree_structure(
+            ref
+        ) == jax.tree_util.tree_structure(dev)
+        for (pr, a), (pd, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref),
+            jax.tree_util.tree_leaves_with_path(dev),
+        ):
+            assert a.shape == b.shape, (pr, a.shape, b.shape)

@@ -147,3 +147,85 @@ def test_train_step_front_normals_only():
     # lambda_normal_B branch (``gaussian_surfel_mvdream.py:394-399``):
     # FS runs compute NO normal-mask loss.
     assert "loss_normal_mask" not in metrics
+
+
+def test_gt_batch_stack_matches_per_frame():
+    """Pinned-stack select must reproduce make_gt_batch exactly (f32 mode)
+    and to u8 quantization (pin-u8 mode: exact for 8-bit-sourced values)."""
+    import dataclasses
+
+    from soar_tpu.train.trainer import gt_stack_nbytes, make_gt_batch_stack
+
+    ds, (params, model) = make_synthetic_sequence(
+        num_frames=5, image_size=(32, 32)
+    )
+    # Attach normal maps so the normal keys are covered; quantize the GT
+    # images to 8-bit first so pin-u8 is bit-exact on every image key
+    # except the (float-warped) crops.
+    rng = np.random.RandomState(0)
+    F = len(ds.images)
+    NR = 16
+    NK = np.array([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]], np.float32)
+    ds = dataclasses.replace(
+        ds,
+        images=np.clip(np.round(ds.images * 255), 0, 255) / 255,
+        normal_F=(rng.randint(0, 256, (F, NR, NR, 3)) / 255).astype(
+            np.float32
+        ),
+        normal_B=(rng.randint(0, 256, (F, NR, NR, 3)) / 255).astype(
+            np.float32
+        ),
+        normal_mask=(rng.rand(F, NR, NR) > 0.5).astype(np.float32),
+        normal_Ks=np.tile(NK[None], (F, 1, 1)),
+    )
+    frames = ds.train_idx
+    ip_table = rng.randn(F, 4, 8).astype(np.float32)
+
+    stacked, select, pos_of = make_gt_batch_stack(
+        ds, model, frames, ip_table=ip_table
+    )
+    f = frames[-1]
+    got = select(stacked, pos_of[f])
+    want = make_gt_batch(ds, model, f)
+    want["ref_ip"] = jnp.asarray(ip_table[f])
+    assert set(got) == set(want)
+    for k in want:
+        for a, b in zip(
+            jax.tree_util.tree_leaves(want[k]),
+            jax.tree_util.tree_leaves(got[k]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    stacked8, select8, pos8 = make_gt_batch_stack(
+        ds, model, frames, store_u8=True, ip_table=ip_table
+    )
+    got8 = select8(stacked8, pos8[f])
+    for k in want:
+        for a, b in zip(
+            jax.tree_util.tree_leaves(want[k]),
+            jax.tree_util.tree_leaves(got8[k]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1 / 500
+            )
+    # 8-bit-sourced keys are exact at 8-bit precision under u8 storage
+    # (XLA's reciprocal-multiply /255 leaves a <=1-ulp float residue, so
+    # compare the recovered integer levels).
+    for k in ("gt_rgb", "gt_normal_F"):
+        np.testing.assert_array_equal(
+            np.round(np.asarray(got8[k]) * 255),
+            np.round(np.asarray(want[k]) * 255),
+        )
+
+    # The u8 estimate is 4x smaller on image payloads and both estimates
+    # bound the real stacks.
+    est = gt_stack_nbytes(ds, model, len(frames), ip_table=ip_table)
+    est8 = gt_stack_nbytes(
+        ds, model, len(frames), store_u8=True, ip_table=ip_table
+    )
+    assert est8 < est
+    real = sum(
+        l.size * l.dtype.itemsize
+        for l in jax.tree_util.tree_leaves(stacked)
+    )
+    assert abs(real - est) <= est * 0.01
