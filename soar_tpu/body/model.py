@@ -42,6 +42,16 @@ class BodyModel(NamedTuple):
     # non-hand segments); SMPLX.forward does ``full_pose += pose_mean``
     # (``utils/smplx/body_models.py:1321``).  SMPL has no pose mean.
     pose_mean: Optional[jnp.ndarray] = None
+    # SMPL-X landmark machinery (None for SMPL / procedural bodies): the
+    # extra vertex joints + face landmark barycentric tables that extend the
+    # 55 kinematic joints to the smplx package's 144-joint output
+    # (``utils/smplx/body_models.py:1345-1374``, ``vertex_joint_selector.py``)
+    # — required by the SMPLify OpenPose-137 mapping.
+    extra_joint_idxs: Optional[jnp.ndarray] = None  # [21] vertex ids
+    lmk_faces_idx: Optional[jnp.ndarray] = None  # [51] static face lmks
+    lmk_bary_coords: Optional[jnp.ndarray] = None  # [51, 3]
+    dyn_lmk_faces_idx: Optional[jnp.ndarray] = None  # [79, 17] contour LUT
+    dyn_lmk_bary_coords: Optional[jnp.ndarray] = None  # [79, 17, 3]
 
     @property
     def num_joints(self) -> int:
@@ -203,6 +213,12 @@ def smplx_forward(
     """SMPL-X forward from a reference-style param dict
     (betas / body_pose / global_orient / transl / hand & face poses /
     expression), cf. ``utils/smpl.py:601-607``."""
+    shape_components, full_pose, transl = _assemble_lbs_inputs(model, params)
+    return lbs(model, shape_components, full_pose, transl)
+
+
+def _assemble_lbs_inputs(model: BodyModel, params: Dict[str, jnp.ndarray]):
+    """Param dict -> (shape_components, full_pose incl. pose_mean, transl)."""
     betas = jnp.atleast_2d(params["betas"])
 
     # Batch size = max rows over EVERY provided segment (each judged
@@ -242,7 +258,129 @@ def smplx_forward(
     transl = params.get("transl")
     if transl is not None:
         transl = _to_batch(transl, B, 3)
-    return lbs(model, shape_components, full_pose, transl)
+    return shape_components, full_pose, transl
+
+
+# ---------------------------------------------------------------------------
+# 144-joint output (kinematic 55 + vertex joints 21 + face lmk 51 + contour
+# 17) — the smplx package's joint layout consumed by the reference's
+# SMPL-X -> OpenPose-137 keypoint mapping (``preproc/utils.py:180-592``).
+
+
+# segment_anything-independent transcription of smplx ``vertex_ids.py`` for
+# the 'smplx' topology, in ``VertexJointSelector`` order (face 5, feet 6,
+# hand tips l then r x 5).
+SMPLX_EXTRA_JOINT_VERTEX_IDS = (
+    9120,  # nose
+    9929,  # reye
+    9448,  # leye
+    616,  # rear
+    6,  # lear
+    5770,  # LBigToe
+    5780,  # LSmallToe
+    8846,  # LHeel
+    8463,  # RBigToe
+    8474,  # RSmallToe
+    8635,  # RHeel
+    5361,  # lthumb
+    4933,  # lindex
+    5058,  # lmiddle
+    5169,  # lring
+    5286,  # lpinky
+    8079,  # rthumb
+    7669,  # rindex
+    7794,  # rmiddle
+    7905,  # rring
+    8022,  # rpinky
+)
+
+
+def vertices2landmarks(
+    vertices: jnp.ndarray,  # [B, V, 3]
+    faces: jnp.ndarray,  # [F, 3]
+    lmk_faces_idx: jnp.ndarray,  # [L] or [B, L]
+    lmk_bary_coords: jnp.ndarray,  # [L, 3] or [B, L, 3]
+) -> jnp.ndarray:
+    """Barycentric landmark interpolation (``smplx/lbs.py:104-144``)."""
+    if lmk_faces_idx.ndim == 1:
+        lmk_faces_idx = jnp.broadcast_to(
+            lmk_faces_idx[None], (vertices.shape[0],) + lmk_faces_idx.shape
+        )
+        lmk_bary_coords = jnp.broadcast_to(
+            lmk_bary_coords[None], (vertices.shape[0],) + lmk_bary_coords.shape
+        )
+    lmk_faces = faces[lmk_faces_idx]  # [B, L, 3] vertex ids
+    lmk_vertices = jnp.take_along_axis(
+        vertices[:, :, None, :],
+        lmk_faces[..., None].astype(jnp.int32),
+        axis=1,
+    )  # [B, L, 3, 3]
+    return jnp.einsum("blfi,blf->bli", lmk_vertices, lmk_bary_coords)
+
+
+def _neck_y_bucket(full_pose: jnp.ndarray, parents) -> jnp.ndarray:
+    """Dynamic-contour LUT row from the neck chain's y rotation
+    (``smplx/lbs.py:28-103``): accumulate the axis-angle rotations along the
+    neck kinematic chain (joint 12 up to the root), convert to a y Euler
+    angle, clamp/round to the [0, 78] bucket index."""
+    chain = []
+    j = 12
+    while j != -1:
+        chain.append(j)
+        j = parents[j]
+    B = full_pose.shape[0]
+    aa = full_pose.reshape(B, -1, 3)[:, jnp.asarray(chain)]
+    rots = batch_rodrigues(aa.reshape(-1, 3)).reshape(B, -1, 3, 3)
+    rel = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    for i in range(len(chain)):
+        rel = jnp.einsum("bij,bjk->bik", rots[:, i], rel)
+    # rot_mat_to_euler: y angle = atan2(-R[2,0], sqrt(R[0,0]^2 + R[1,0]^2)).
+    y = jnp.arctan2(
+        -rel[:, 2, 0], jnp.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)
+    )
+    y_deg = jnp.round(jnp.minimum(-y * 180.0 / jnp.pi, 39.0)).astype(jnp.int32)
+    neg = y_deg < 0
+    very_neg = y_deg < -39
+    neg_vals = jnp.where(very_neg, 78, 39 - y_deg)
+    return jnp.where(neg, neg_vals, y_deg)
+
+
+def smplx_forward_full(
+    model: BodyModel, params: Dict[str, jnp.ndarray]
+) -> Tuple[LBSOutput, jnp.ndarray]:
+    """Forward returning ``(LBSOutput, joints144)`` — the smplx package's
+    full joint set (``body_models.py:1345-1380``): [0:55] kinematic, [55:76]
+    extra vertex joints, [76:127] static face landmarks, [127:144] dynamic
+    face contour.  Requires the landmark fields loaded by
+    :func:`load_smplx_npz` from a real SMPL-X npz."""
+    if model.extra_joint_idxs is None or model.lmk_faces_idx is None:
+        raise ValueError(
+            "smplx_forward_full needs the SMPL-X landmark tables "
+            "(extra_joint_idxs / lmk_*); load the body via load_smplx_npz"
+        )
+    shape_components, full_pose, transl = _assemble_lbs_inputs(model, params)
+    # Landmarks interpolate PRE-translation vertices in the reference
+    # (transl is added to joints and vertices after the landmark concat,
+    # ``body_models.py:1380-1384``) — equivalent to adding transl to the
+    # full 144 set, which is what we do by computing on the translated
+    # vertices (barycentric interpolation commutes with translation:
+    # sum(w)=1).
+    out = lbs(model, shape_components, full_pose, transl)
+    extra = out.vertices[:, jnp.asarray(model.extra_joint_idxs)]
+    lmk_faces_idx = model.lmk_faces_idx
+    lmk_bary = model.lmk_bary_coords
+    static = vertices2landmarks(
+        out.vertices, model.faces, lmk_faces_idx, lmk_bary
+    )
+    parts = [out.joints, extra, static]
+    if model.dyn_lmk_faces_idx is not None:
+        bucket = _neck_y_bucket(full_pose, model.parents)
+        dyn_faces = model.dyn_lmk_faces_idx[bucket]  # [B, 17]
+        dyn_bary = model.dyn_lmk_bary_coords[bucket]  # [B, 17, 3]
+        parts.append(
+            vertices2landmarks(out.vertices, model.faces, dyn_faces, dyn_bary)
+        )
+    return out, jnp.concatenate(parts, axis=1)
 
 
 def load_smplx_npz(
@@ -298,6 +436,18 @@ def load_smplx_npz(
             pose_mean[40 * 3 : 55 * 3] = np.asarray(
                 data["hands_meanr"], np.float32
             ).reshape(-1)
+        # Landmark machinery for the 144-joint output (present in the
+        # official SMPL-X npz; ``body_models.py:1085-1104``).
+        lmk_f = lmk_b = dyn_f = dyn_b = extra = None
+        if "lmk_faces_idx" in data and J == 55:
+            lmk_f = np.asarray(data["lmk_faces_idx"], np.int32)
+            lmk_b = np.asarray(data["lmk_bary_coords"], np.float32)
+            extra = np.asarray(SMPLX_EXTRA_JOINT_VERTEX_IDS, np.int32)
+            if "dynamic_lmk_faces_idx" in data:
+                dyn_f = np.asarray(data["dynamic_lmk_faces_idx"], np.int32)
+                dyn_b = np.asarray(
+                    data["dynamic_lmk_bary_coords"], np.float32
+                )
     return BodyModel(
         v_template=jnp.asarray(v_template),
         shapedirs=jnp.asarray(shapedirs),
@@ -308,6 +458,11 @@ def load_smplx_npz(
         faces=jnp.asarray(faces),
         num_betas=num_betas,
         pose_mean=None if pose_mean is None else jnp.asarray(pose_mean),
+        extra_joint_idxs=None if extra is None else jnp.asarray(extra),
+        lmk_faces_idx=None if lmk_f is None else jnp.asarray(lmk_f),
+        lmk_bary_coords=None if lmk_b is None else jnp.asarray(lmk_b),
+        dyn_lmk_faces_idx=None if dyn_f is None else jnp.asarray(dyn_f),
+        dyn_lmk_bary_coords=None if dyn_b is None else jnp.asarray(dyn_b),
     )
 
 

@@ -58,6 +58,7 @@ def real_setup(
     num_subdiv: int = 2,
     seed: int = 0,
     distill_steps: int = 1000,
+    body=None,
 ):
     """Returns (ds, params, model) for a real capture — the shared rebuild
     all three CLIs use so a checkpoint trained by ``cli.train`` restores
@@ -85,7 +86,8 @@ def real_setup(
     ):
         img_root = os.path.join(dataroot, "train")
     ds = load_sequence(img_root)
-    body = load_body_model(smpl_model)
+    if body is None:
+        body = load_body_model(smpl_model)
     smpl_params = insav_params if insav_params is not None else ds.smpl_params
     params, model = init_avatar(
         body,

@@ -114,21 +114,31 @@ def main(argv=None):
 
     keypoints = load_keypoints(kp_dir)
     keypoints[..., :2] /= np.asarray(img_wh, np.float32)
-    # Body-25 + both hand-21 blocks; stage 1 zeroes the hand confidences
-    # via hand_kp_slice (reference: ``kp_confs[:, 25:-70] = 0``), stage 2
-    # fits left/right_hand_pose against them. Face columns are dropped
-    # (the reference never optimizes face pose either).
-    target = keypoints[:, :67]
-
-    fitter = SMPLify(
-        body,
-        np.concatenate([smplx_to_openpose25(), smplx_to_openpose_hands()]),
-        SMPLifyConfig(
-            preserve_weight=args.preserve_weight,
-            smooth_weight=args.smooth_weight,
-        ),
-        hand_kp_slice=(25, 67),
+    cfg = SMPLifyConfig(
+        preserve_weight=args.preserve_weight,
+        smooth_weight=args.smooth_weight,
     )
+    if body.lmk_faces_idx is not None:
+        # Full reference mapping: all 137 OpenPose columns (body + hands +
+        # face contour/landmarks) against the smplx 144-joint output with
+        # vertex landmarks (``preproc/utils.py:180-592``); stage 1 zeroes
+        # the hand confidences (``kp_confs[:, 25:-70] = 0``).
+        target = keypoints
+        fitter = SMPLify(
+            body, cfg=cfg, hand_kp_slice=(25, 67), openpose137=True
+        )
+    else:
+        # Reduced kinematic-joint mapping for bodies without landmark
+        # tables (legacy SMPL pkl): body-25 + hand-21 blocks only.
+        target = keypoints[:, :67]
+        fitter = SMPLify(
+            body,
+            np.concatenate(
+                [smplx_to_openpose25(), smplx_to_openpose_hands()]
+            ),
+            cfg,
+            hand_kp_slice=(25, 67),
+        )
     fitted = fitter.fit(
         {k: jnp.asarray(v) for k, v in init.items()},
         jnp.asarray(Ks),

@@ -123,24 +123,41 @@ class SMPLify:
     Args:
         body: the body model.
         joint_map: [K] indices selecting model joints corresponding to the
-            target keypoints' columns (reference builds an SMPL-X ->
-            OpenPose-137 mapping, ``preproc/utils.py:180-592``; pass
-            :func:`smplx_to_openpose25` output for real data).
+            target keypoints' columns (the kinematic-joint reduction; see
+            :func:`smplx_to_openpose25`).  Ignored when ``openpose137``.
         hand_kp_slice: (start, end) of hand keypoints in the target columns
             to zero during stage 1 (``kp_confs[:, 25:-70] = 0``).
+        openpose137: use the reference's FULL SMPL-X -> OpenPose-137
+            mapping (``preproc/utils.py:180-592``): the 144-joint output
+            (vertex landmarks + face landmarks + dynamic contour), the
+            scatter mapping with mid-hip synthesis and hip widening, and
+            the 137-column validity mask.  Requires the body's landmark
+            tables (:func:`soar_tpu.body.model.load_smplx_npz`).
     """
 
     def __init__(
         self,
         body: BodyModel,
-        joint_map: np.ndarray,
+        joint_map: Optional[np.ndarray] = None,
         cfg: SMPLifyConfig = SMPLifyConfig(),
         hand_kp_slice: Optional[Tuple[int, int]] = None,
+        openpose137: bool = False,
     ):
         self.body = body
-        self.joint_map = jnp.asarray(joint_map, jnp.int32)
+        self.joint_map = (
+            None if joint_map is None else jnp.asarray(joint_map, jnp.int32)
+        )
         self.cfg = cfg
         self.hand_kp_slice = hand_kp_slice
+        self.openpose137 = openpose137
+        self.kp_mask = None
+        if openpose137:
+            src, dst, mask = smplx_to_openpose137()
+            self._src = jnp.asarray(src, jnp.int32)
+            self._dst = jnp.asarray(dst, jnp.int32)
+            self.kp_mask = jnp.asarray(mask, jnp.float32)
+        elif joint_map is None:
+            raise ValueError("need joint_map unless openpose137=True")
 
     def _loss(
         self,
@@ -156,9 +173,15 @@ class SMPLify:
         params6 = {**fixed6, **opt6}
         n_frames = Ks.shape[0]
         aa = _to_axis_angle(params6, n_frames)
-        out = smplx_forward(self.body, aa)
-        joints = out.joints[:, : self.body.num_joints]
-        pred = joints[:, self.joint_map]  # [F, K, 3]
+        if self.openpose137:
+            from ..body.model import smplx_forward_full
+
+            _, j144 = smplx_forward_full(self.body, aa)
+            pred = convert_kps_137(j144, self._src, self._dst)  # [F, 137, 3]
+        else:
+            out = smplx_forward(self.body, aa)
+            joints = out.joints[:, : self.body.num_joints]
+            pred = joints[:, self.joint_map]  # [F, K, 3]
 
         ones = jnp.ones_like(pred[..., :1])
         pred_c = jnp.einsum(
@@ -168,6 +191,8 @@ class SMPLify:
         pix = pix[..., :2] / jnp.maximum(pix[..., 2:], 1e-5)
 
         conf = target_kps_px[..., 2:]
+        if self.kp_mask is not None:
+            conf = conf * self.kp_mask[None, :, None]
         if ignore_hands and self.hand_kp_slice is not None:
             s, e = self.hand_kp_slice
             conf = conf.at[:, s:e].set(0.0)
@@ -257,6 +282,80 @@ class SMPLify:
 
         n_frames = int(Ks.shape[0])
         return _to_axis_angle(params6, n_frames)
+
+
+def smplx_to_openpose137():
+    """``(src_inds, dst_inds, kp_mask)`` of the reference's full SMPL-X ->
+    OpenPose-137 keypoint mapping (numeric mapping data transcribed from
+    ``/root/reference/preproc/utils.py:180-592``).
+
+    ``src_inds`` index the smplx 144-joint output
+    (:func:`soar_tpu.body.model.smplx_forward_full`), ``dst_inds`` the
+    OpenPose-137 columns ([25 body, 21 L hand, 21 R hand, 70 face]);
+    ``kp_mask`` zeroes the columns SMPL-X cannot represent (the duplicate
+    hand-wrist columns 25/46, the 10 jawline-contour points 84-93 beyond
+    smplx's 17-point contour, and the eye pupils 135/136)."""
+    # fmt: off
+    src = [
+        55, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,        # body
+        56, 57, 58, 59, 60, 61, 62, 63, 64, 65,                     # face/feet
+        37, 38, 39, 66, 25, 26, 27, 67, 28, 29, 30, 68,             # L hand
+        34, 35, 36, 69, 31, 32, 33, 70,
+        52, 53, 54, 71, 40, 41, 42, 72, 43, 44, 45, 73,             # R hand
+        49, 50, 51, 74, 46, 47, 48, 75,
+        127, 128, 129, 130, 131, 132, 133, 134, 135, 136, 137, 138,  # contour
+        139, 140, 141, 142, 143,
+        86, 87, 88, 89, 90, 91, 92, 93, 94, 95, 96, 97, 98, 99,     # face 51
+        100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 110, 111,
+        112, 113, 114, 115, 116, 117, 118, 119, 120, 121, 122, 123,
+        124, 125, 126,
+    ]
+    dst = [
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+        15, 16, 17, 18, 19, 20, 21, 22, 23, 24,
+        26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37,
+        38, 39, 40, 41, 42, 43, 44, 45,
+        47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+        59, 60, 61, 62, 63, 64, 65, 66,
+        67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78,
+        79, 80, 81, 82, 83,
+        94, 95, 96, 97, 98, 99, 100, 101, 102, 103, 104, 105, 106,
+        107, 108, 109, 110, 111, 112, 113, 114, 115, 116, 117, 118,
+        119, 120, 121, 122, 123, 124, 125, 126, 127, 128, 129, 130,
+        131, 132, 133, 134,
+    ]
+    # fmt: on
+    mask = np.ones(137, np.float32)
+    mask[[25, 46, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 135, 136]] = 0.0
+    return (
+        np.asarray(src, np.int64),
+        np.asarray(dst, np.int64),
+        mask,
+    )
+
+
+def convert_kps_137(
+    j144: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray
+) -> jnp.ndarray:
+    """[F, 144, 3] smplx joints -> [F, 137, 3] OpenPose columns, with the
+    reference's mid-hip synthesis (col 8 = mean of hips) and hip WIDENING
+    (cols 9/12 pushed outward in x/y: +-0.25 of the hip-to-hip vector plus
+    re-centering on the mid-hip; ``preproc/utils.py:574-589``).  Applied to
+    3D joints BEFORE projection, exactly like the reference."""
+    F = j144.shape[0]
+    new = jnp.zeros((F, 137, 3), j144.dtype)
+    new = new.at[:, dst].set(j144[:, src])
+    mid = 0.5 * (new[:, 9] + new[:, 12])
+    new = new.at[:, 8].set(mid)
+    hips = new[:, jnp.asarray([9, 12]), :2]
+    swapped = new[:, jnp.asarray([12, 9]), :2]
+    adj = (
+        hips
+        + 0.25 * (hips - swapped)
+        + 0.5 * (mid[:, None, :2] - 0.5 * (hips + swapped))
+    )
+    new = new.at[:, jnp.asarray([9, 12]), :2].set(adj)
+    return new
 
 
 def smplx_to_openpose25() -> np.ndarray:

@@ -132,3 +132,100 @@ def test_load_insav_smpl_params(tmp_path):
         distill_steps=0,
     )
     assert params.xyz.shape[0] > 0
+
+
+def test_insav_end_to_end_real_setup_and_train_step(tmp_path):
+    """Full insav_wild path (round-2 verdict next-step #9): a synthetic
+    insav-layout capture (images/masks under ``train/``, SMPL-24 params in
+    ``train/smpl_parms.pth``, cameras in the standard ``smplx/params.pth``)
+    flows through ``real_setup`` and ONE guidance-free train step.  Matches
+    the reference's insav support surface: only the body-parameter source
+    changes (``utils/smpl.py:182-205``); images/cameras use the custom
+    pipeline layout."""
+    import os
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from soar_tpu.body import make_test_body
+    from soar_tpu.cli.common import real_setup
+    from soar_tpu.render.types import RasterConfig
+    from soar_tpu.train.config import StageConfig, TrainConfig
+    from soar_tpu.train.trainer import (
+        init_train_state,
+        make_gt_batch,
+        make_train_step,
+    )
+
+    F = 4
+    H = W = 48
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "train" / "images"
+    mask_dir = tmp_path / "train" / "masks"
+    os.makedirs(img_dir)
+    os.makedirs(mask_dir)
+    for i in range(F):
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        mask = np.zeros((H, W), np.uint8)
+        mask[8:40, 12:36] = 255
+        cv2.imwrite(str(img_dir / f"{i:05d}.png"), img)
+        cv2.imwrite(str(mask_dir / f"{i:05d}.png"), mask)
+
+    torch.save(
+        {
+            "beta": torch.from_numpy(rng.randn(1, 10).astype(np.float32) * 0.1),
+            "body_pose": torch.from_numpy(
+                (rng.randn(F, 72) * 0.05).astype(np.float32)
+            ),
+            "trans": torch.from_numpy(
+                np.tile([[0.0, 0.2, -1.8]], (F, 1)).astype(np.float32)
+            ),
+        },
+        str(tmp_path / "train" / "smpl_parms.pth"),
+    )
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    os.makedirs(tmp_path / "train" / "smplx")
+    torch.save(
+        {
+            "w2c": torch.from_numpy(np.eye(4, dtype=np.float32)),
+            "Ks": torch.from_numpy(np.tile(K[None], (F, 1, 1))),
+            "normal_Ks": torch.from_numpy(np.tile(K[None], (F, 1, 1))),
+        },
+        str(tmp_path / "train" / "smplx" / "params.pth"),
+    )
+
+    body = make_test_body(num_joints=24, segments_per_bone=2, ring=6)
+    ds, params, model = real_setup(
+        str(tmp_path), smpl_model=None, num_subdiv=0, distill_steps=0,
+        body=body,
+    )
+    # SMPL-24 params reached the avatar: 23 non-root joints.
+    assert model.smpl_params["body_pose"].shape == (F, 69)
+    assert len(ds.images) == F and ds.image_size == (H, W)
+
+    cfg = TrainConfig(n_views=2)
+    state, opt = init_train_state(params, cfg)
+    step = jax.jit(
+        make_train_step(
+            model,
+            cfg,
+            StageConfig(training_stage=0),
+            opt,
+            gen_size=(32, 32),
+            gt_size=(H, W),
+            normal_size=(32, 32),
+            raster=RasterConfig(max_per_tile=32, dup_side=3),
+            use_explicit=True,
+            has_normals=False,
+            n_views=2,
+        )
+    )
+    batch = make_gt_batch(ds, model, ds.train_idx[0])
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    loss = float(metrics["loss"])
+    assert loss == loss, "loss is NaN"
+    assert not np.allclose(
+        np.asarray(state2.params.xyz), np.asarray(state.params.xyz)
+    )
