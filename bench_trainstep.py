@@ -205,13 +205,20 @@ def time_steps(
     label,
     iters=10,
     deadline=None,
+    phase_budget_s=None,
+    provisional_cb=None,
 ):
     """Time the step.  Returns ``(steps_per_s, canaries_dict)``.
 
     Best-of-N batches (shared TPU tenancy shows ~3-7x run-to-run variance;
     single batches under-report badly); ``deadline`` (absolute
     ``time.time()`` value) trims batches — at least one always runs so a
-    compile-heavy phase still yields a (flagged) number."""
+    compile-heavy phase still yields a (flagged) number.
+
+    ``phase_budget_s`` caps the WALL time of the timing batches (counted
+    from after compile+first-step): a tenancy spike can stretch one batch
+    to minutes even when the best batch is seconds, and an unbounded phase
+    starves everything after it."""
     import jax
     import jax.numpy as jnp
 
@@ -240,10 +247,33 @@ def time_steps(
     compile_s = time.time() - t0
     print(f"[{label}] compile+1st: {compile_s:.1f}s loss={l:.4f}",
           file=sys.stderr)
+    if provisional_cb is not None:
+        # One timed step emitted IMMEDIATELY: under severe shared-tenancy
+        # degradation the timing batches below can outlive any budget, and
+        # a kill mid-batch must not lose the phase entirely.
+        key, k1 = jax.random.split(key)
+        t0 = time.time()
+        state, metrics = one_step(state, batch, k1)
+        _ = float(metrics["loss"])
+        provisional_cb(1.0 / max(time.time() - t0, 1e-9))
+    # Sample until 3 CLEAN batches (within 2x of the best) or the budget
+    # runs out: shared tenancy stretches individual batches to minutes
+    # while healthy ones take seconds, so a fixed batch count either
+    # under-reports (spiky batch counted) or starves later phases
+    # (unbounded retries).  Best-of over clean batches, wall-bounded.
     dt = float("inf")
-    batches = 0
-    for _rep in range(3):
-        est = iters / (iters / dt) if dt != float("inf") else None
+    batches = good = 0
+    phase_deadline = (
+        time.time() + phase_budget_s if phase_budget_s is not None else None
+    )
+    while good < 3 and batches < 8:
+        if (
+            batches >= 1
+            and phase_deadline is not None
+            and time.time() > phase_deadline
+        ):
+            break
+        est = dt if dt != float("inf") else None
         if (
             batches >= 1
             and deadline is not None
@@ -256,8 +286,11 @@ def time_steps(
             key, k1 = jax.random.split(key)
             state, metrics = one_step(state, batch, k1)
         l = float(metrics["loss"])
-        dt = min(dt, time.time() - t0)
+        bdt = time.time() - t0
+        dt = min(dt, bdt)
         batches += 1
+        if bdt <= 2.0 * dt:
+            good += 1
     capped = float(metrics["raster_capped"])
     canaries = {
         # capped surfels = visible holes: must be 0 for the number to count
@@ -282,7 +315,8 @@ def phase_no_sds(scene, lpips_fn, deadline=None):
         params, model, ds, cfg, None, StageConfig(training_stage=0), lpips_fn
     )
     s, canaries = time_steps(
-        ds, model, state, fn, prelude, g, "no-sds", deadline=deadline
+        ds, model, state, fn, prelude, g, "no-sds", iters=5,
+        deadline=deadline, phase_budget_s=120.0,
     )
     frag = {
         "train_step_no_sds_steps_per_s": round(s, 3),
@@ -293,7 +327,7 @@ def phase_no_sds(scene, lpips_fn, deadline=None):
     return frag, s
 
 
-def phase_sds(scene, lpips_fn, deadline=None):
+def phase_sds(scene, lpips_fn, deadline=None, provisional_cb=None):
     """Phase: full ImageDream-SDS production step.  Returns a fragment."""
     import jax
     import jax.numpy as jnp
@@ -316,7 +350,8 @@ def phase_sds(scene, lpips_fn, deadline=None):
         params, model, ds, cfg, guidance_fn, stage, lpips_fn
     )
     s, canaries = time_steps(
-        ds, model, state, fn, prelude, g, "sds", iters=5, deadline=deadline
+        ds, model, state, fn, prelude, g, "sds", iters=5, deadline=deadline,
+        phase_budget_s=120.0, provisional_cb=provisional_cb,
     )
     frag = {"train_step_sds_on_steps_per_s": round(s, 3)}
     for k, v in canaries.items():

@@ -5,9 +5,17 @@ TPU."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from soar_tpu.render.block_composite import composite_block
 from soar_tpu.render.composite import composite_weights, splat_alpha
+
+
+def _has_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def make_scene(NT=6, K=24, tile=16, C=7, seed=0, saturate=False):
@@ -195,3 +203,46 @@ def test_pallas_composite_under_selective_remat():
     )
     for a, b in zip(plain, remat):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(
+    not _has_tpu(), reason="Mosaic lowering needs a real TPU backend"
+)
+def test_pallas_kernel_lowers_without_interpret():
+    """ADVICE r2: interpret=True skips Mosaic's (8,128) tiling constraints,
+    so the block-shape rules (singleton middle dim on per-pixel operands)
+    were unguarded.  Lower + compile the real pallas_call on the TPU
+    backend — a block-spec regression fails here instead of only on
+    real-chip bench runs.  Value + grad parity with XLA is asserted too
+    (cheap at this size once compiled)."""
+    scene = make_scene(NT=6, K=24, seed=7, saturate=True)
+
+    fwd = jax.jit(lambda *s: composite_block(*s, interpret=False, block=4))
+    lowered = fwd.lower(*scene)
+    compiled = lowered.compile()  # Mosaic compile — the regression gate
+    a, c, t = compiled(*scene)
+    a_ref, c_ref, t_ref = xla_composite(*scene)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
+                               atol=5e-4, rtol=5e-4)
+
+    xy, conic, opac, valid, attrs, e, pixf = scene
+
+    def loss(xy, opac, attrs):
+        a, c, t = composite_block(
+            xy, conic, opac, valid, attrs, e, pixf,
+            interpret=False, block=4,
+        )
+        return jnp.sum(a * a) + jnp.sum(c) + jnp.sum(t)
+
+    def loss_ref(xy, opac, attrs):
+        a, c, t = xla_composite(xy, conic, opac, valid, attrs, e, pixf)
+        return jnp.sum(a * a) + jnp.sum(c) + jnp.sum(t)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xy, opac, attrs)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(xy, opac, attrs)
+    for a_, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=5e-3, rtol=5e-3
+        )
