@@ -263,6 +263,7 @@ def time_steps(
     # (unbounded retries).  Best-of over clean batches, wall-bounded.
     dt = float("inf")
     batches = good = 0
+    batch_dts = []
     phase_deadline = (
         time.time() + phase_budget_s if phase_budget_s is not None else None
     )
@@ -287,6 +288,7 @@ def time_steps(
             state, metrics = one_step(state, batch, k1)
         l = float(metrics["loss"])
         bdt = time.time() - t0
+        batch_dts.append(round(bdt, 2))
         dt = min(dt, bdt)
         batches += 1
         if bdt <= 2.0 * dt:
@@ -302,8 +304,39 @@ def time_steps(
         "loss_finite": bool(l == l),
         f"compile_first_step_s_{label.replace('-', '_')}": round(compile_s, 1),
         f"timing_batches_{label.replace('-', '_')}": batches,
+        # Raw per-batch wall times: a tenancy-stretched measurement
+        # self-identifies (huge spread / single slow batch).
+        f"batch_dts_{label.replace('-', '_')}": batch_dts,
     }
     return iters / dt, canaries
+
+
+def _timed_with_retries(
+    time_fn, suspect_below, deadline, sleep_s=45.0, max_attempts=3
+):
+    """Run ``time_fn() -> (rate, canaries)``; when the measured rate is
+    implausibly low (tenancy spike) and budget remains, sleep and re-time —
+    the program is already compiled, so a retry costs only waiting.  Best
+    attempt wins; the attempt count is recorded."""
+    s, canaries = time_fn()
+    attempts = 1
+    while (
+        s < suspect_below
+        and attempts < max_attempts
+        and (deadline is None or time.time() < deadline - 4 * sleep_s)
+    ):
+        print(
+            f"[bench] rate {s:.3f} steps/s looks tenancy-degraded; "
+            f"retrying after {sleep_s:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
+        s2, c2 = time_fn()
+        if s2 > s:
+            s, canaries = s2, c2
+        attempts += 1
+    canaries["timing_attempts"] = attempts
+    return s, canaries
 
 
 def phase_no_sds(scene, lpips_fn, deadline=None):
@@ -314,9 +347,16 @@ def phase_no_sds(scene, lpips_fn, deadline=None):
     state, fn, prelude, g = build_step(
         params, model, ds, cfg, None, StageConfig(training_stage=0), lpips_fn
     )
-    s, canaries = time_steps(
-        ds, model, state, fn, prelude, g, "no-sds", iters=5,
-        deadline=deadline, phase_budget_s=120.0,
+    s, canaries = _timed_with_retries(
+        lambda: time_steps(
+            ds, model, state, fn, prelude, g, "no-sds", iters=5,
+            deadline=deadline, phase_budget_s=120.0,
+        ),
+        # Half the reference baseline: the recorded calm-window rate is
+        # 1.59 steps/s, so anything under 0.4 is a tenancy artifact (or a
+        # 4x true regression, which a retry also disambiguates).
+        suspect_below=0.4,
+        deadline=deadline,
     )
     frag = {
         "train_step_no_sds_steps_per_s": round(s, 3),
@@ -349,9 +389,15 @@ def phase_sds(scene, lpips_fn, deadline=None, provisional_cb=None):
     state, fn, prelude, g = build_step(
         params, model, ds, cfg, guidance_fn, stage, lpips_fn
     )
-    s, canaries = time_steps(
-        ds, model, state, fn, prelude, g, "sds", iters=5, deadline=deadline,
-        phase_budget_s=120.0, provisional_cb=provisional_cb,
+    s, canaries = _timed_with_retries(
+        lambda: time_steps(
+            ds, model, state, fn, prelude, g, "sds", iters=5,
+            deadline=deadline, phase_budget_s=120.0,
+            provisional_cb=provisional_cb,
+        ),
+        # Calm-window SDS-on rate is ~0.95 steps/s (ledger item 7).
+        suspect_below=0.25,
+        deadline=deadline,
     )
     frag = {"train_step_sds_on_steps_per_s": round(s, 3)}
     for k, v in canaries.items():
