@@ -37,7 +37,10 @@ import time
 def _random_lpips_fn():
     """Random-init LPIPS-VGG16 distance fn — exercises the exact LPIPS
     computation graph for timing (converted weights change values, not
-    cost)."""
+    cost).  Returns ``(fn(a, b, variables), variables)``: the variables
+    ride in batch["lpips_params"] as a jit ARGUMENT (closure-captured VGG
+    kernels baked ~56 MB of constants into the step executable —
+    PERFORMANCE.md item 19)."""
     import jax
     import jax.numpy as jnp
 
@@ -47,10 +50,10 @@ def _random_lpips_fn():
     x = jnp.zeros((1, 64, 64, 3))
     variables = net.init(jax.random.PRNGKey(0), x, x)
 
-    def fn(a, b):
+    def fn(a, b, variables):
         return jnp.mean(net.apply(variables, a[None], b[None]))
 
-    return fn
+    return fn, variables
 
 
 def build_scene():
@@ -141,7 +144,7 @@ def _rasters():
     return raster, _raster("SOAR_BENCH_FAT_GEN"), _raster("SOAR_BENCH_FAT_GT")
 
 
-def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_fn):
+def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
     """Build the EXACT production program pair cli.train runs: stage-0
     steps <= sds_start use a guidance-free build (two-tier raster
     everywhere, un-rematted), and later steps the SDS build (single-tier
@@ -167,7 +170,10 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_fn):
         raster_gt=raster_gt,
         use_explicit=False,
         has_normals=True,
-        lpips_fn=lpips_fn,
+        # Arg-passing LPIPS: variables ride in batch["lpips_params"]
+        # (PERFORMANCE.md item 19 — no VGG constants in the executable).
+        lpips_fn=lpips_pair[0],
+        lpips_via_batch=True,
         guidance_fn=guidance_fn,
         # Production execution mode: the no-grad SDS half runs as its
         # own program with the diffusion weights as jit arguments.  With
@@ -192,7 +198,7 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_fn):
         if raw.sds_prelude is not None
         else None
     )
-    return state, fn, prelude, guidance_fn
+    return state, fn, prelude, guidance_fn, lpips_pair[1]
 
 
 def time_steps(
@@ -207,6 +213,7 @@ def time_steps(
     deadline=None,
     phase_budget_s=None,
     provisional_cb=None,
+    lpips_vars=None,
 ):
     """Time the step.  Returns ``(steps_per_s, canaries_dict)``.
 
@@ -226,6 +233,8 @@ def time_steps(
 
     key = jax.random.PRNGKey(0)
     batch = make_gt_batch(ds, model, 0)
+    if lpips_vars is not None:
+        batch["lpips_params"] = lpips_vars
     ref_ip = None
     if prelude is not None and guidance_fn.embed_ref is not None:
         # Per-frame ip tokens are precomputed once in production
@@ -344,13 +353,13 @@ def phase_no_sds(scene, lpips_fn, deadline=None):
     from soar_tpu.train.config import StageConfig
 
     params, model, ds, cfg = scene
-    state, fn, prelude, g = build_step(
+    state, fn, prelude, g, lvars = build_step(
         params, model, ds, cfg, None, StageConfig(training_stage=0), lpips_fn
     )
     s, canaries = _timed_with_retries(
         lambda: time_steps(
             ds, model, state, fn, prelude, g, "no-sds", iters=5,
-            deadline=deadline, phase_budget_s=120.0,
+            deadline=deadline, phase_budget_s=120.0, lpips_vars=lvars,
         ),
         # Half the reference baseline: the recorded calm-window rate is
         # 1.59 steps/s, so anything under 0.4 is a tenancy artifact (or a
@@ -386,14 +395,14 @@ def phase_sds(scene, lpips_fn, deadline=None, provisional_cb=None):
         n_view=4,
         dtype=jnp.bfloat16,
     )
-    state, fn, prelude, g = build_step(
+    state, fn, prelude, g, lvars = build_step(
         params, model, ds, cfg, guidance_fn, stage, lpips_fn
     )
     s, canaries = _timed_with_retries(
         lambda: time_steps(
             ds, model, state, fn, prelude, g, "sds", iters=5,
             deadline=deadline, phase_budget_s=120.0,
-            provisional_cb=provisional_cb,
+            provisional_cb=provisional_cb, lpips_vars=lvars,
         ),
         # Calm-window SDS-on rate is ~0.95 steps/s (ledger item 7).
         suspect_below=0.25,

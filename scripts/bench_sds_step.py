@@ -115,7 +115,7 @@ def main():
         gen_size = 512
         guidance_kw = dict(mock=True, image_size=256, n_view=4)
     H, W = ds.images.shape[1:3]
-    lpips_fn = B._random_lpips_fn()
+    lpips_fn, lpips_vars = B._random_lpips_fn()
     raster = RasterConfig(max_per_tile=96, dup_side=5)
 
     guidance_fn = None
@@ -145,6 +145,7 @@ def main():
         use_explicit=False,
         has_normals=True,
         lpips_fn=lpips_fn,
+        lpips_via_batch=True,
         guidance_fn=guidance_fn,
         split_sds=guidance_fn is not None and args.sds_mode == "split",
         sds_via_params=guidance_fn is not None and args.sds_mode == "fused",
@@ -166,6 +167,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     batch = make_gt_batch(ds, model, 0)
+    batch["lpips_params"] = lpips_vars
     ref_ip = None
     if guidance_fn is not None and guidance_fn.embed_ref is not None:
         ref_ip = jax.block_until_ready(

@@ -291,9 +291,14 @@ def main(argv=None):
         args.composite = "xla"
     raster = RasterConfig(composite=args.composite)
 
-    from ..train.lpips import make_lpips_fn
+    from ..train.lpips import make_lpips_fn, make_lpips_loss
 
-    lpips_fn = make_lpips_fn(args.lpips_weights)
+    # Arg-passing LPIPS: variables ride in batch["lpips_params"] so the
+    # VGG16 kernels never bake into the step executable as constants
+    # (PERFORMANCE.md item 19).
+    lpips_fn, lpips_vars = make_lpips_loss(args.lpips_weights)
+    if lpips_vars is not None:
+        lpips_vars = jax.device_put(lpips_vars)
     if args.lpips_weights and lpips_fn is None:
         print(f"warning: LPIPS weights not found at {args.lpips_weights}; "
               "LPIPS terms disabled")
@@ -465,6 +470,7 @@ def main(argv=None):
             has_normals=has_normals,
             has_normal_B=has_normal_B,
             lpips_fn=lpips_fn,
+            lpips_via_batch=lpips_fn is not None,
             guidance_fn=guidance_fn,
             split_sds=split_sds,
             sds_via_params=sds_via_params,
@@ -509,6 +515,7 @@ def main(argv=None):
                     has_normals=has_normals,
                     has_normal_B=has_normal_B,
                     lpips_fn=lpips_fn,
+                    lpips_via_batch=lpips_fn is not None,
                     guidance_fn=None,
                     shard_views=shard_views_fn,
                     shard_gt=shard_gt_fn,
@@ -584,6 +591,9 @@ def main(argv=None):
         state = _rep(state)
         gparams = _rep(gparams) if gparams is not None else None
         gt_stack = _rep(gt_stack) if gt_stack is not None else None
+        lpips_vars_dev = (
+            _rep(lpips_vars) if lpips_vars is not None else None
+        )
         for it in range(start_it, n_steps):
             key, k1 = jax.random.split(key)
             frame = ds.train_idx[rng.randint(len(ds.train_idx))]
@@ -604,6 +614,10 @@ def main(argv=None):
                         batch_cache.move_to_end(frame)
                 # Shallow copy: the loop adds per-step keys (sds_target).
                 batch = dict(base)
+                if lpips_vars_dev is not None:
+                    # Same device arrays every step: a pointer, not a
+                    # transfer (lpips_via_batch — see make_lpips_loss).
+                    batch["lpips_params"] = lpips_vars_dev
             with timer.phase("step"):
                 warm = warm_step_fn is not None and it <= stage_cfg.sds_start
                 if prelude_fn is not None and not warm:

@@ -133,6 +133,32 @@ def make_lpips_fn(path: Optional[str] = None, dtype=jnp.bfloat16):
     return fn
 
 
+def make_lpips_loss(path: Optional[str] = None, dtype=jnp.bfloat16):
+    """Arg-passing variant of :func:`make_lpips_fn`: returns
+    ``(fn(a, b, variables) -> scalar, variables)`` or ``(None, None)``.
+
+    The variables arrive as a jit ARGUMENT (threaded through the train
+    step's batch under ``"lpips_params"``, trainer ``lpips_via_batch``)
+    instead of a closure capture: closure-captured VGG16 kernels bake
+    ~56 MB of constants into every train-step executable — bloating the
+    serialized program the axon transport must ship on every cold start
+    (docs/PERFORMANCE.md item 19)."""
+    import os
+
+    if path is None or not os.path.exists(path):
+        return None, None
+    import pickle
+
+    with open(path, "rb") as f:
+        variables = pickle.load(f)
+    net = LPIPS(dtype=dtype)
+
+    def fn(a, b, variables):
+        return net.apply(variables, a[None], b[None])[0]
+
+    return fn, variables
+
+
 def load_lpips(path: Optional[str] = None):
     """Returns lpips_fn(img0_01, img1_01) -> float, or None if weights are
     unavailable (callers treat None as 'LPIPS disabled'). Host-side wrapper

@@ -114,6 +114,7 @@ def make_train_step(
     shard_views: Optional[Callable] = None,
     shard_gt: Optional[Callable] = None,
     lpips_fn: Optional[Callable] = None,
+    lpips_via_batch: bool = False,
     split_sds: bool = False,
     sds_via_params: bool = False,
     remat_gen: Optional[bool] = None,
@@ -359,6 +360,16 @@ def make_train_step(
         loss = loss + C(w.mask) * loss_mask
         metrics["loss_mask"] = loss_mask
 
+        # lpips_via_batch: the VGG16 variables ride in
+        # ``batch["lpips_params"]`` as a jit ARGUMENT (lpips_fn signature
+        # (a, b, variables)) — closure-captured kernels would bake ~56 MB
+        # of constants into the executable (PERFORMANCE.md item 19).
+        if lpips_fn is not None and lpips_via_batch:
+            _lpips_raw = lpips_fn
+            lp = lambda a, b: _lpips_raw(a, b, batch["lpips_params"])  # noqa: E731
+        else:
+            lp = lpips_fn
+
         if has_normals:
             nmask = batch["gt_normal_mask"] > 1e-5
             loss_nF = 0.2 * L.cos_loss(
@@ -381,7 +392,7 @@ def make_train_step(
                 nm_bin = nmask[..., None].astype(nm_raw.dtype)
 
                 def nlp(pred01, gt01, nm):
-                    return lpips_fn(
+                    return lp(
                         (pred01 * nm - 0.5) * 2.0, (gt01 * nm - 0.5) * 2.0
                     )
 
@@ -416,7 +427,7 @@ def make_train_step(
         # two 512px VGG16 forwards are not worth tracing for a 0 weight).
         vgg_on = isinstance(w.vgg, (tuple, list)) or float(w.vgg) != 0.0
         if lpips_fn is not None and vgg_on:
-            loss_vgg = lpips_fn(
+            loss_vgg = lp(
                 (gt["render"] - 0.5) * 2.0, (gt_rgb_blended - 0.5) * 2.0
             )
             loss = loss + C(w.vgg) * loss_vgg
