@@ -332,7 +332,7 @@ def _timed_with_retries(
     while (
         s < suspect_below
         and attempts < max_attempts
-        and (deadline is None or time.time() < deadline - 4 * sleep_s)
+        and (deadline is None or time.time() < deadline - 3 * sleep_s)
     ):
         print(
             f"[bench] rate {s:.3f} steps/s looks tenancy-degraded; "
