@@ -214,6 +214,7 @@ def time_steps(
     phase_budget_s=None,
     provisional_cb=None,
     lpips_vars=None,
+    ref_ip=None,
 ):
     """Time the step.  Returns ``(steps_per_s, canaries_dict)``.
 
@@ -235,10 +236,11 @@ def time_steps(
     batch = make_gt_batch(ds, model, 0)
     if lpips_vars is not None:
         batch["lpips_params"] = lpips_vars
-    ref_ip = None
-    if prelude is not None and guidance_fn.embed_ref is not None:
+    if ref_ip is None and prelude is not None and guidance_fn.embed_ref is not None:
         # Per-frame ip tokens are precomputed once in production
-        # (cli.train); one frame here, then the CLIP tower is freed.
+        # (cli.train).  NOTE: callers that retry time_steps must embed
+        # once THEMSELVES and pass ref_ip in — the CLIP tower is freed
+        # after the first embed (phase_sds does this).
         ref_ip = jax.block_until_ready(
             guidance_fn.embed_ref(jnp.asarray(ds.normal_F[0]))
         )
@@ -398,11 +400,23 @@ def phase_sds(scene, lpips_fn, deadline=None, provisional_cb=None):
     state, fn, prelude, g, lvars = build_step(
         params, model, ds, cfg, guidance_fn, stage, lpips_fn
     )
+    # Embed the ip reference ONCE here (the CLIP tower is freed after),
+    # so the tenancy-retry loop can re-run time_steps safely.
+    ref_ip = None
+    if prelude is not None and g.embed_ref is not None:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        ref_ip = _jax.block_until_ready(
+            g.embed_ref(_jnp.asarray(ds.normal_F[0]))
+        )
+        g.release_image_encoder()
     s, canaries = _timed_with_retries(
         lambda: time_steps(
             ds, model, state, fn, prelude, g, "sds", iters=5,
             deadline=deadline, phase_budget_s=120.0,
             provisional_cb=provisional_cb, lpips_vars=lvars,
+            ref_ip=ref_ip,
         ),
         # Calm-window SDS-on rate is ~0.95 steps/s (ledger item 7).
         suspect_below=0.25,

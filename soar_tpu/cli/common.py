@@ -42,9 +42,17 @@ def synthetic_setup(distill_steps: int = 0, seed: int = 0):
 def load_body_model(smpl_model: str):
     """SMPL-X .npz or legacy SMPL .pkl, by extension (the ONE dispatch rule
     — cli.train, cli.render_rot and cli.export_mesh must accept the same
-    model files or checkpoints stop being loadable across tools)."""
-    from ..body.model import load_smpl_pkl, load_smplx_npz
+    model files or checkpoints stop being loadable across tools).
 
+    ``test:J,S,R`` builds the procedural test body (J joints, S segments
+    per bone, R ring vertices) — the weights-free demo/bench path for this
+    zero-egress environment (the proprietary SMPL-X npz cannot be
+    downloaded here)."""
+    from ..body.model import load_smpl_pkl, load_smplx_npz, make_test_body
+
+    if smpl_model.startswith("test:"):
+        j, s, r = (int(x) for x in smpl_model[5:].split(","))
+        return make_test_body(num_joints=j, segments_per_bone=s, ring=r)
     return (
         load_smpl_pkl(smpl_model)
         if smpl_model.endswith(".pkl")
