@@ -24,6 +24,37 @@ see SURVEY.md at the repository root.
 __version__ = "0.1.0"
 
 
+def _set_matmul_precision():
+    """Default f32 matmuls to true float32 (override with
+    SOAR_TPU_MATMUL_PRECISION, e.g. ``bfloat16`` to restore the JAX
+    default).
+
+    On TPU, JAX's default matmul precision rounds f32 contraction operands
+    through bf16 on the MXU.  The reference computes every geometry /
+    compositing contraction in fp32 CUDA; measured on v5e, the default cost
+    the composite's channel reduction 3.4e-3 abs error vs an f64 oracle
+    (camera projection and LBS blends round the same way).  The deliberate
+    reduced-precision paths (guidance UNet/VAE/CLIP, train-loss LPIPS) cast
+    their operands to bf16 explicitly and are unaffected by this default.
+    """
+    import os
+
+    prec = os.environ.get("SOAR_TPU_MATMUL_PRECISION", "float32")
+    if not prec:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", prec)
+    except Exception as e:  # renamed config key, bad value
+        import warnings
+
+        warnings.warn(f"soar_tpu: default matmul precision not set ({e!r})")
+
+
+_set_matmul_precision()
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache (override dir with
     SOAR_TPU_COMPILE_CACHE; disable with SOAR_TPU_COMPILE_CACHE=0).

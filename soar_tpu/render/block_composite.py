@@ -68,6 +68,14 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's default scoped-VMEM stack limit is 16 MB; the dense [B, P, K]
+# working set of this kernel (≈15 live intermediates, K padded to a 128
+# lane multiple) exceeds it even at small block sizes (measured 71 MB at
+# block=8, K=24, P=256 on v5e).  v5e has 128 MB VMEM — raise the scoped
+# limit rather than shrinking the block below MXU-efficient sizes.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 F_XY = 0
 F_CONIC = 2
@@ -94,11 +102,18 @@ def _triangular(K: int, mode: str) -> jnp.ndarray:
 def _prefix_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     """[B, P, K] prefix/suffix sums along K as one [B*P, K] @ [K, K] matmul."""
     B, P, K = x.shape
+    # precision=HIGHEST: at the JAX default the MXU rounds f32 inputs to
+    # bf16, costing ~3 decimal digits in the log-space cumprod; Mosaic
+    # honors HIGHEST (verified on v5e: 2e-7 vs an f64 oracle) and these
+    # [B*P, K] @ [K, K] matmuls are a small share of the kernel's work.
+    # Kept explicit (not inherited from jax_default_matmul_precision) so
+    # the kernel stays exact under any global setting.
     y = jax.lax.dot_general(
         x.reshape(B * P, K),
         tri,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y.reshape(B, P, K)
 
@@ -248,6 +263,7 @@ def _make_fused(
                 jax.ShapeDtypeStruct((NT, 1, P), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
         )(feat, px, py)
 
     def _bwd_call(feat, px, py, gacc, gcorr, gt):
@@ -266,6 +282,7 @@ def _make_fused(
             out_specs=[pl.BlockSpec((block, K, F), lambda i: (i, 0, 0))],
             out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
             interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
         )(feat, px, py, gacc, gcorr, gt)[0]
 
     @jax.custom_vjp

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -104,9 +105,19 @@ def finalize(
     color composited over bg, depth normalized by accumulated alpha (or the
     reference's ``D + T*10`` fallback)."""
     T = jnp.minimum(1.0 - 1e-6, t_final)
-    color = jnp.einsum("...k,...kc->...c", weights, colors) + T[..., None] * bg_color
+    # precision=HIGHEST: on TPU the default matmul precision rounds the f32
+    # channel reduction through bf16 (measured 3.4e-3 abs error vs an f64
+    # oracle on v5e); the reference CUDA composite accumulates in fp32
+    # (forward.cu:616-633), so the K-contraction must stay f32-exact.  The
+    # contraction is tiny (K x C per pixel) — cost is negligible.
+    _HP = jax.lax.Precision.HIGHEST
+    color = (
+        jnp.einsum("...k,...kc->...c", weights, colors, precision=_HP)
+        + T[..., None] * bg_color
+    )
     if surface:
-        normal = jnp.einsum("...k,...kc->...c", weights, normals)
+        normal = jnp.einsum("...k,...kc->...c", weights, normals,
+                            precision=_HP)
     else:
         normal = jnp.zeros(color.shape[:-1] + (3,), color.dtype)
     D = jnp.sum(weights * depths, axis=-1)

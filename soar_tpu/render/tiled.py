@@ -522,7 +522,9 @@ def _rasterize_core(
         )
         Tb = jnp.minimum(1.0 - 1e-6, t_final_b)
         color_b = (
-            jnp.einsum("npk,nkc->npc", weights_b, occ_g) + Tb[..., None] * bg
+            jnp.einsum("npk,nkc->npc", weights_b, occ_g,
+                       precision=jax.lax.Precision.HIGHEST)
+            + Tb[..., None] * bg
         )
     ref_out = main_ret[0] if also_back else main_ret
     occ_out = RenderOutputs(
