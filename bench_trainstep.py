@@ -56,16 +56,87 @@ def _random_lpips_fn():
     return fn, variables
 
 
+def _flatten_tree(prefix, tree, out):
+    """Flatten a nested dict/list/NamedTuple-of-arrays into ``out`` with
+    "/"-joined string keys (npz-serializable; list indices become "#NNN"
+    segments so :func:`_unflatten_dict` can restore them as lists)."""
+    if hasattr(tree, "_fields"):  # NamedTuple
+        for f in tree._fields:
+            _flatten_tree(f"{prefix}{f}/", getattr(tree, f), out)
+    elif isinstance(tree, dict):
+        for k in sorted(tree):
+            _flatten_tree(f"{prefix}{k}/", tree[k], out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten_tree(f"{prefix}#{i:03d}/", v, out)
+    else:
+        import numpy as np
+
+        out[prefix.rstrip("/")] = np.asarray(tree)
+
+
+def _unflatten_dict(flat, prefix):
+    """Rebuild the nested dict under ``prefix`` from "/"-joined keys
+    ("#NNN" segments come back as list entries, in index order)."""
+    tree = {}
+    plen = len(prefix)
+    for k in flat:
+        if not k.startswith(prefix):
+            continue
+        parts = k[plen:].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[k]
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: fix(v) for k, v in node.items()}
+        if node and all(k.startswith("#") for k in node):
+            return [node[k] for k in sorted(node)]
+        return node
+
+    return fix(tree)
+
+
+def _scene_cache_file():
+    import os
+
+    d = os.environ.get(
+        "SOAR_SCENE_CACHE", os.path.expanduser("~/.cache/soar_tpu_scene")
+    )
+    if d == "0":
+        return None
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        return None
+    # Tag pins every knob that shapes the cached arrays.
+    return os.path.join(d, "bench_scene_10j7s28r_sub3_v2.npz")
+
+
 def build_scene():
     """The production-scale bench scene (125k surfels, 512px, 8 frames,
     full attribute field) — shared with ``scripts/bench_sds_step.py`` so
     A/B knob sweeps measure EXACTLY the headline scene.  Returns
-    ``(params, model, ds, cfg)``."""
+    ``(params, model, ds, cfg)``.
+
+    The avatar-init arrays (subdivided template, 3-NN scales, kNN-IDW
+    skinning weights, hash-field init — ~50 MB, dozens of device programs)
+    are cached to ``~/.cache/soar_tpu_scene`` after the first build: over
+    the axon tunnel the from-scratch init alone cost 217 s of the round-3
+    driver window (VERDICT r3 weak #1); a cache hit replaces it with one
+    npz read + lazy uploads (override dir with SOAR_SCENE_CACHE, disable
+    with SOAR_SCENE_CACHE=0)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from soar_tpu.avatar import init_avatar
+    from soar_tpu.avatar.state import AvatarModel, AvatarParams
     from soar_tpu.body import make_test_body
+    from soar_tpu.body.skinning import SkinningData
     from soar_tpu.data.dataset import AvatarDataset
     from soar_tpu.field.attribute_field import AttributeFieldConfig
     from soar_tpu.field.hashgrid import HashGridConfig
@@ -87,13 +158,83 @@ def build_scene():
             num_levels=16, min_res=16, max_res=2048, log2_hashmap_size=18
         )
     )
-    params, model = init_avatar(
-        body,
-        {k: jnp.asarray(v) for k, v in sp.items()},
-        num_subdiv=3,
-        field_cfg=fc,
-        distill_steps=0,
-    )
+    cache = _scene_cache_file()
+    loaded = False
+    if cache is not None:
+        import os
+
+        if os.path.exists(cache):
+            try:
+                from functools import partial
+
+                from soar_tpu.field.attribute_field import (
+                    init_attribute_field,
+                )
+
+                flat = dict(np.load(cache))
+                # The attribute field is pure RNG from (key, aabb, cfg):
+                # regenerate it ON DEVICE in one compiled program instead of
+                # uploading the ~540 MB of f32 hash tables through the
+                # tunnel.  Same PRNGKey(seed=0) as init_avatar -> identical
+                # values (threefry is platform-deterministic).
+                field = jax.jit(partial(init_attribute_field, cfg=fc))(
+                    jax.random.PRNGKey(0), jnp.asarray(flat["m/aabb"])
+                )
+                params = AvatarParams(
+                    xyz=jnp.asarray(flat["p/xyz"]),
+                    rotation=jnp.asarray(flat["p/rotation"]),
+                    scaling=jnp.asarray(flat["p/scaling"]),
+                    opacity=jnp.asarray(flat["p/opacity"]),
+                    colors=jnp.asarray(flat["p/colors"]),
+                    occ=jnp.asarray(flat["p/occ"]),
+                    field=field,
+                    latent_pose=jnp.asarray(flat["p/latent_pose"]),
+                )
+                model = AvatarModel(
+                    body=body,
+                    skin=SkinningData(
+                        inv_mats=jnp.asarray(flat["m/skin/inv_mats"]),
+                        cano_vertices=jnp.asarray(flat["m/skin/cano_vertices"]),
+                        point_weights=jnp.asarray(flat["m/skin/point_weights"]),
+                    ),
+                    smpl_params={k: jnp.asarray(v) for k, v in sp.items()},
+                    aabb=jnp.asarray(flat["m/aabb"]),
+                    original_pos=jnp.asarray(flat["m/original_pos"]),
+                    num_frames=F,
+                    field_cfg=fc,
+                )
+                loaded = True
+            except Exception as e:  # stale/corrupt cache: rebuild
+                print(f"[bench] scene cache unreadable ({e!r}); rebuilding",
+                      file=sys.stderr)
+    if not loaded:
+        params, model = init_avatar(
+            body,
+            {k: jnp.asarray(v) for k, v in sp.items()},
+            num_subdiv=3,
+            field_cfg=fc,
+            distill_steps=0,
+        )
+        if cache is not None:
+            flat = {}
+            _flatten_tree("p/", params, flat)
+            # Drop the RNG-reproducible field (regenerated on device at
+            # load; its hash tables alone are ~540 MB).
+            flat = {k: v for k, v in flat.items()
+                    if not k.startswith("p/field/")}
+            _flatten_tree("m/skin/", model.skin, flat)
+            flat["m/aabb"] = np.asarray(model.aabb)
+            flat["m/original_pos"] = np.asarray(model.original_pos)
+            try:
+                # atomic: concurrent readers never see a partial file
+                # (suffix kept .npz: np.savez appends it otherwise)
+                tmp = cache + f".tmp.{os.getpid()}.npz"
+                np.savez(tmp, **flat)
+                os.replace(tmp, cache)
+                print(f"[bench] scene cache written: {cache}", file=sys.stderr)
+            except OSError as e:
+                print(f"[bench] scene cache write failed ({e!r})",
+                      file=sys.stderr)
 
     H = W = 512
     K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]], np.float32)
@@ -188,6 +329,7 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
         remat_gt=False,
     )
     fn = jax.jit(raw)
+    fn.raw_step = raw  # un-jitted step (profilers time sub-programs off it)
     # NOTE: donate_argnums=(0,) would halve state memory, but the
     # axon remote transport host-copies donated buffers and races
     # their deletion ("Array has been deleted"); leave undonated.

@@ -44,6 +44,7 @@ def main():
     from soar_tpu.field.hashgrid import HashGridConfig
     from soar_tpu.render.types import RasterConfig
 
+    t_setup = time.time()
     if args.small:
         body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)
         fc = AttributeFieldConfig(
@@ -51,29 +52,29 @@ def main():
                                 log2_hashmap_size=12),
             hidden_dim=16,
         )
-        subdiv = 1
+        F = 4
+        rng = np.random.RandomState(0)
+        sp = {
+            "betas": np.zeros((1, body.num_betas), np.float32),
+            "body_pose": (
+                rng.randn(F, (body.num_joints - 1) * 3) * 0.05
+            ).astype(np.float32),
+            "global_orient": np.zeros((F, 3), np.float32),
+            "transl": np.tile([[0.0, 0.9, -2.8]], (F, 1)).astype(np.float32),
+        }
+        params, model = init_avatar(
+            body, {k: jnp.asarray(v) for k, v in sp.items()},
+            num_subdiv=1, field_cfg=fc, distill_steps=0,
+        )
         args.size = min(args.size, 128)
     else:
-        body = make_test_body(num_joints=10, segments_per_bone=7, ring=28)
-        fc = AttributeFieldConfig(
-            grid=HashGridConfig(num_levels=16, min_res=16, max_res=2048,
-                                log2_hashmap_size=18)
-        )
-        subdiv = 3
-    F = 4
-    rng = np.random.RandomState(0)
-    sp = {
-        "betas": np.zeros((1, body.num_betas), np.float32),
-        "body_pose": (rng.randn(F, (body.num_joints - 1) * 3) * 0.05).astype(
-            np.float32
-        ),
-        "global_orient": np.zeros((F, 3), np.float32),
-        "transl": np.tile([[0.0, 0.9, -2.8]], (F, 1)).astype(np.float32),
-    }
-    params, model = init_avatar(
-        body, {k: jnp.asarray(v) for k, v in sp.items()},
-        num_subdiv=subdiv, field_cfg=fc, distill_steps=0,
-    )
+        # The EXACT headline bench scene — and its on-disk cache (the
+        # from-scratch init costs minutes over the axon tunnel).
+        import bench_trainstep as B
+
+        params, model, _ds, _cfg = B.build_scene()
+    print(f"[composite] scene setup: {time.time()-t_setup:.1f}s",
+          file=sys.stderr)
     size = (args.size, args.size)
     c2w, fovy = sample_multiview_cameras(
         jax.random.PRNGKey(0), CameraSampleConfig(n_view=1)
@@ -86,9 +87,12 @@ def main():
             raster=RasterConfig(max_per_tile=96, dup_side=3, composite=impl),
         )
 
-    def timeit(fn, *a):
+    def timeit(fn, *a, label=""):
+        t0 = time.perf_counter()
         out = fn(*a)  # compile
         _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        print(f"[composite] {label} compile+1st: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         best = float("inf")
         for _rep in range(3):
             t0 = time.perf_counter()
@@ -96,6 +100,7 @@ def main():
                 out = fn(*a)
             _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
             best = min(best, (time.perf_counter() - t0) / args.iters)
+        print(f"[composite] {label}: {best*1000:.1f} ms", file=sys.stderr)
         return best
 
     res = {"size": args.size, "n_surfels": int(params.xyz.shape[0])}
@@ -119,8 +124,12 @@ def main():
 
         fwd_j = jax.jit(fwd)
         grad_j = jax.jit(jax.grad(loss))
-        res[f"{impl}_fwd_s"] = round(timeit(fwd_j, params), 4)
-        res[f"{impl}_fwdbwd_s"] = round(timeit(grad_j, params), 4)
+        res[f"{impl}_fwd_s"] = round(
+            timeit(fwd_j, params, label=f"{impl} fwd"), 4
+        )
+        res[f"{impl}_fwdbwd_s"] = round(
+            timeit(grad_j, params, label=f"{impl} fwd+bwd"), 4
+        )
         vals[impl] = (fwd_j(params), grad_j(params))
 
     # Numerical agreement of the two paths on the production scene.

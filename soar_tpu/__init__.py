@@ -39,6 +39,13 @@ def _set_matmul_precision():
     """
     import os
 
+    if (
+        "SOAR_TPU_MATMUL_PRECISION" not in os.environ
+        and os.environ.get("JAX_DEFAULT_MATMUL_PRECISION")
+    ):
+        # The user already configured JAX's own knob for this process;
+        # don't silently override it (ADVICE r3).
+        return
     prec = os.environ.get("SOAR_TPU_MATMUL_PRECISION", "float32")
     if not prec:
         return
@@ -53,6 +60,33 @@ def _set_matmul_precision():
 
 
 _set_matmul_precision()
+
+
+def _respect_platform_env():
+    """Make ``JAX_PLATFORMS=cpu python -m soar_tpu...`` reliable: the axon
+    TPU plugin ignores the env var in some process states, silently
+    grabbing the (shared, tunneled) chip for runs meant to stay on the
+    host.  The config flag wins over the plugin, so mirror the env var
+    into it (tests/conftest.py and __graft_entry__ already do this
+    individually)."""
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    # ONLY the cpu case: that is the documented workaround target, and the
+    # deployment environment exports JAX_PLATFORMS=axon globally — blindly
+    # mirroring that would override callers (e.g. dryrun_multichip) that
+    # already forced the config flag to cpu before importing soar_tpu.
+    if plats != "cpu":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+    except Exception:  # pragma: no cover - config key rename
+        pass
+
+
+_respect_platform_env()
 
 
 def _enable_compilation_cache():

@@ -73,9 +73,24 @@ from jax.experimental.pallas import tpu as pltpu
 # Mosaic's default scoped-VMEM stack limit is 16 MB; the dense [B, P, K]
 # working set of this kernel (≈15 live intermediates, K padded to a 128
 # lane multiple) exceeds it even at small block sizes (measured 71 MB at
-# block=8, K=24, P=256 on v5e).  v5e has 128 MB VMEM — raise the scoped
-# limit rather than shrinking the block below MXU-efficient sizes.
-_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# block=8, K=24, P=256 on v5e).  v4/v5e-class parts have 128 MB VMEM —
+# raise the scoped limit rather than shrinking the block below
+# MXU-efficient sizes.  Override with SOAR_TPU_PALLAS_VMEM_MB for parts
+# with a different VMEM budget (ADVICE r3).
+
+
+def _vmem_limit():
+    import os
+
+    mb = int(os.environ.get("SOAR_TPU_PALLAS_VMEM_MB", "0"))
+    if mb <= 0:
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:
+            kind = ""
+        # v2/v3 cores have 16/32 MB VMEM; v4+ have 128 MB.
+        mb = 14 if ("v2" in kind or "v3" in kind) else 100
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
 
 F_XY = 0
 F_CONIC = 2
@@ -263,7 +278,7 @@ def _make_fused(
                 jax.ShapeDtypeStruct((NT, 1, P), jnp.float32),
             ],
             interpret=interpret,
-            compiler_params=None if interpret else _VMEM_LIMIT,
+            compiler_params=None if interpret else _vmem_limit(),
         )(feat, px, py)
 
     def _bwd_call(feat, px, py, gacc, gcorr, gt):
@@ -282,7 +297,7 @@ def _make_fused(
             out_specs=[pl.BlockSpec((block, K, F), lambda i: (i, 0, 0))],
             out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
             interpret=interpret,
-            compiler_params=None if interpret else _VMEM_LIMIT,
+            compiler_params=None if interpret else _vmem_limit(),
         )(feat, px, py, gacc, gcorr, gt)[0]
 
     @jax.custom_vjp

@@ -108,13 +108,16 @@ def test_gradients_match_xla():
     )(*args)
     names = ["xy", "conic", "opac", "attrs", "e"]
     for n, gr, gp in zip(names, g_ref, g_pl):
-        # atol 2e-3: this saturated scene has alpha up to 0.99, and the
-        # composite gradient carries a 1/(1-alpha) (up to 100x) rounding
-        # amplifier — measured on TPU (interpret mode) the two paths agree
-        # to 3.7e-3 abs on gradients of magnitude ~1e2 (rel ~2e-5); only
-        # small-magnitude elements see the absolute floor.
+        # Per-array absolute tolerance scaled to each gradient's own
+        # magnitude (ADVICE r3): the saturated scene's 1/(1-alpha) (up to
+        # 100x) rounding amplifier justifies a loose ABSOLUTE floor only on
+        # the large-magnitude arrays (measured rel agreement ~2e-5); a
+        # blanket 2e-3 floor would mask real regressions in the
+        # small-magnitude xy/conic gradients.
+        scale = float(jnp.max(jnp.abs(gr)))
         np.testing.assert_allclose(
-            gp, gr, atol=2e-3, rtol=5e-4, err_msg=f"grad mismatch: {n}"
+            gp, gr, atol=max(4e-5 * scale, 1e-7), rtol=5e-4,
+            err_msg=f"grad mismatch: {n}",
         )
 
 
