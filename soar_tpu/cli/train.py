@@ -114,6 +114,10 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--use-explicit", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--import-ckpt", type=str, default=None,
+                    help="warm-start surfel params (+field when layouts "
+                    "match) from a REFERENCE Lightning .ckpt before "
+                    "training (docs/REAL_WEIGHTS.md §5)")
     ap.add_argument("--eval", action="store_true", help="run test split at end")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--dump-every", type=int, default=250)
@@ -272,6 +276,20 @@ def main(argv=None):
             else cfg.height
         )
         normal_size = (nres, nres)
+    if args.import_ckpt:
+        # Warm-start from a REFERENCE Lightning checkpoint (the real-weights
+        # fine-tune drill, docs/REAL_WEIGHTS.md §5): explicit surfel params
+        # map by name; the attribute field imports only for matching
+        # corner-mode capacity (import_reference_ckpt docstring).  Unlike
+        # --resume this does not restore a step counter.
+        from ..io.checkpoint import import_reference_ckpt
+
+        mapped = import_reference_ckpt(args.import_ckpt, like=params)
+        params = params._replace(
+            **{k: jnp.asarray(v) for k, v in mapped.items()}
+        )
+        print(f"imported reference ckpt {args.import_ckpt} "
+              f"({sorted(mapped)})")
     resume_step = 0
     if args.resume:
         params, resume_step = load_avatar(args.resume, params)
