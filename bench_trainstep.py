@@ -378,6 +378,11 @@ def time_steps(
     batch = make_gt_batch(ds, model, 0)
     if lpips_vars is not None:
         batch["lpips_params"] = lpips_vars
+    if prelude is not None and getattr(guidance_fn, "vae_params", None) is not None:
+        # Split-SDS grad half: VAE variables ride as jit arguments (a
+        # closure-captured VAE bakes ~75 MB of constants into the step
+        # executable — scripts/audit_executable.py --sds).
+        batch["guidance_vae"] = guidance_fn.vae_params
     if ref_ip is None and prelude is not None and guidance_fn.embed_ref is not None:
         # Per-frame ip tokens are precomputed once in production
         # (cli.train).  NOTE: callers that retry time_steps must embed

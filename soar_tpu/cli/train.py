@@ -636,6 +636,12 @@ def main(argv=None):
                     # Same device arrays every step: a pointer, not a
                     # transfer (lpips_via_batch — see make_lpips_loss).
                     batch["lpips_params"] = lpips_vars_dev
+                if prelude_fn is not None and getattr(
+                    guidance_fn, "vae_params", None
+                ) is not None:
+                    # Split-SDS grad half: VAE variables as jit arguments,
+                    # not closure constants (~75 MB smaller executable).
+                    batch["guidance_vae"] = guidance_fn.vae_params
             with timer.phase("step"):
                 warm = warm_step_fn is not None and it <= stage_cfg.sds_start
                 if prelude_fn is not None and not warm:

@@ -453,6 +453,24 @@ def build_guidance(
         # (``gaussian_surfel_mvdream.py:465-469``).
         guidance_fn.encode_latents = mv.encode_latents
 
+        # Closure-free encoder for the grad half: ``mv.encode_latents``
+        # closure-captures the VAE variables, which bake into the TRAIN
+        # STEP's serialized executable as ~75 MB of stablehlo constants
+        # (measured, scripts/audit_executable.py --sds) — the same
+        # transport problem the UNet/LPIPS already solved by arg-passing.
+        # The trainer uses this variant whenever the caller rides the VAE
+        # weights in ``batch["guidance_vae"]`` (= ``vae_params`` below).
+        def encode_latents_p(vv, rgb, key):
+            def enc(images01, k):
+                z = vae.apply(vv, images01.astype(dtype), k)
+                return z.astype(jnp.float32)
+
+            tmp = MultiviewGuidance(gcfg, enc, None, text_embeddings)
+            return tmp.encode_latents(rgb, key)
+
+        guidance_fn.encode_latents_p = encode_latents_p
+        guidance_fn.vae_params = vae_vars
+
         @jax.jit
         def _target_impl(uv, text_emb, latents, c2w, key, step, ref_ip):
             def denoise(lat, t, ctx):

@@ -133,6 +133,27 @@ def _prefix_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(B, P, K)
 
 
+def _pix_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, P, K] -> [B, K] pixel reduction as per-item [1, P] @ [P, K] MXU
+    dots.  A plain ``jnp.sum(x, axis=1)`` lowers to a middle-axis
+    ``vector.multi_reduction`` that Mosaic rejects ("Unsupported output
+    implicit dimension") when ``x`` carries the mixed-broadcast layouts of
+    the backward kernel (measured on v5e; the same reduce on a
+    freshly-loaded ref compiles fine).  The dot formulation is
+    layout-robust AND puts the reduction on the MXU."""
+    B, P, K = x.shape
+    ones = jnp.ones((1, P), jnp.float32)
+    rows = [
+        jax.lax.dot_general(
+            ones, x[b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for b in range(B)
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
 def _splat_terms(f, px, py, alpha_clamp, alpha_min, t_min):
     """Shared fwd recompute: returns everything both kernels need."""
     xy_x = f[:, :, F_XY][:, None, :]  # [B, 1, K]
@@ -214,8 +235,8 @@ def _bwd_kernel(
         attr_c = f[:, :, F_ATTR + c][:, None, :]
         gw = gw + gacc_c * attr_c
         # dL/dattr_c (per slot): sum over pixels.
-        gfeat_ref[:, :, F_ATTR + c] = jnp.sum(
-            w * gacc_ref[:, c, :][:, :, None], axis=1
+        gfeat_ref[:, :, F_ATTR + c] = _pix_sum(
+            w * gacc_ref[:, c, :][:, :, None]
         )
 
     K = w.shape[-1]
@@ -234,16 +255,16 @@ def _bwd_kernel(
     gdx = gpow * (-(ca * dx + cb * dy)) + gcorr * w * e0
     gdy = gpow * (-(cc * dy + cb * dx)) + gcorr * w * e1
 
-    gfeat_ref[:, :, F_XY] = jnp.sum(gdx, axis=1)
-    gfeat_ref[:, :, F_XY + 1] = jnp.sum(gdy, axis=1)
-    gfeat_ref[:, :, F_CONIC] = jnp.sum(gpow * (-0.5 * dx * dx), axis=1)
-    gfeat_ref[:, :, F_CONIC + 1] = jnp.sum(gpow * (-dx * dy), axis=1)
-    gfeat_ref[:, :, F_CONIC + 2] = jnp.sum(gpow * (-0.5 * dy * dy), axis=1)
-    gfeat_ref[:, :, F_OPAC] = jnp.sum(gop, axis=1)
+    gfeat_ref[:, :, F_XY] = _pix_sum(gdx)
+    gfeat_ref[:, :, F_XY + 1] = _pix_sum(gdy)
+    gfeat_ref[:, :, F_CONIC] = _pix_sum(gpow * (-0.5 * dx * dx))
+    gfeat_ref[:, :, F_CONIC + 1] = _pix_sum(gpow * (-dx * dy))
+    gfeat_ref[:, :, F_CONIC + 2] = _pix_sum(gpow * (-0.5 * dy * dy))
+    gfeat_ref[:, :, F_OPAC] = _pix_sum(gop)
     gfeat_ref[:, :, F_VALID] = jnp.zeros(gop.shape[:1] + gop.shape[2:3],
                                          jnp.float32)
-    gfeat_ref[:, :, F_E] = jnp.sum(gcorr * w * dx, axis=1)
-    gfeat_ref[:, :, F_E + 1] = jnp.sum(gcorr * w * dy, axis=1)
+    gfeat_ref[:, :, F_E] = _pix_sum(gcorr * w * dx)
+    gfeat_ref[:, :, F_E + 1] = _pix_sum(gcorr * w * dy)
 
 
 @functools.lru_cache(maxsize=None)

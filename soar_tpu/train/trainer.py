@@ -514,8 +514,19 @@ def make_train_step(
                 )
             elif split_sds:
                 # Grad half only: the no-grad UNet target was computed in
-                # its own program (see docstring).
-                lat = guidance_fn.encode_latents(guidance_inp, k_sds)
+                # its own program (see docstring).  When the caller rides
+                # the VAE variables in the batch, use the closure-free
+                # encoder so they stay jit ARGUMENTS — a closure-captured
+                # VAE bakes ~75 MB of constants into this step's serialized
+                # executable (scripts/audit_executable.py --sds).
+                if "guidance_vae" in batch and getattr(
+                    guidance_fn, "encode_latents_p", None
+                ) is not None:
+                    lat = guidance_fn.encode_latents_p(
+                        batch["guidance_vae"], guidance_inp, k_sds
+                    )
+                else:
+                    lat = guidance_fn.encode_latents(guidance_inp, k_sds)
                 target = jax.lax.stop_gradient(batch["sds_target"])
                 sds_out = {
                     "loss_sds": 0.5 * jnp.sum((lat - target) ** 2)

@@ -224,7 +224,7 @@ def test_split_sds_matches_fused(setup):
     from soar_tpu.train.trainer import TrainState
 
     results = {}
-    for mode in ("fused", "split", "split_fused_prelude"):
+    for mode in ("fused", "split", "split_fused_prelude", "split_vae_args"):
         cfg = TrainConfig(n_views=2, head_prob=0.4)
         state, opt = init_train_state(params, cfg)
         # step=1 so the SDS gate (step > sds_start) is open
@@ -249,11 +249,18 @@ def test_split_sds_matches_fused(setup):
             # The production one-program no-grad half (cli.train / bench).
             fused_prelude = guidance_fn.make_fused_prelude(raw.sds_prelude)
             batch["sds_target"] = fused_prelude(state, batch, key)
+        elif mode == "split_vae_args":
+            # Production transport shape: the grad half's VAE variables
+            # ride in batch["guidance_vae"] (jit argument, not a closure
+            # constant) — must be the identical computation.
+            fused_prelude = guidance_fn.make_fused_prelude(raw.sds_prelude)
+            batch["sds_target"] = fused_prelude(state, batch, key)
+            batch["guidance_vae"] = guidance_fn.vae_params
         new_state, metrics = step_fn(state, batch, key)
         results[mode] = (new_state, metrics)
 
     m_f = results["fused"][1]
-    for mode in ("split", "split_fused_prelude"):
+    for mode in ("split", "split_fused_prelude", "split_vae_args"):
         np.testing.assert_allclose(
             float(results[mode][1]["loss_sds"]),
             float(m_f["loss_sds"]),
