@@ -133,25 +133,34 @@ def _prefix_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(B, P, K)
 
 
-def _pix_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, P, K] -> [B, K] pixel reduction as per-item [1, P] @ [P, K] MXU
-    dots.  A plain ``jnp.sum(x, axis=1)`` lowers to a middle-axis
-    ``vector.multi_reduction`` that Mosaic rejects ("Unsupported output
-    implicit dimension") when ``x`` carries the mixed-broadcast layouts of
-    the backward kernel (measured on v5e; the same reduce on a
-    freshly-loaded ref compiles fine).  The dot formulation is
-    layout-robust AND puts the reduction on the MXU."""
-    B, P, K = x.shape
+def _pix_sum_many(arrs):
+    """Pixel reductions for the backward kernel: each [B, P, K] array in
+    ``arrs`` -> [B, K], computed as ONE [1, P] @ [P, G*K] MXU dot per block
+    item over the lane-concatenated stack.
+
+    Why not ``jnp.sum(x, axis=1)``: the middle-axis
+    ``vector.multi_reduction`` (and its keepdims variant) fails Mosaic
+    ("Not implemented: Unsupported output implicit dimension") under the
+    mixed per-splat/per-pixel broadcast layouts these arrays carry
+    (measured on v5e; the same reduce on a freshly-loaded ref compiles).
+    Why concatenated: per-array per-item dots compile — but G*B ≈ 40
+    unrolled tiny matmuls blow Mosaic's compile time past 7 minutes at
+    the SMALL test shape.  One wide dot per item keeps the unroll at B
+    and the rhs a proper MXU shape ([P, G*K] ≈ [256, 10K])."""
+    G = len(arrs)
+    B, P, K = arrs[0].shape
+    cat = jnp.concatenate(arrs, axis=-1)  # [B, P, G*K]
     ones = jnp.ones((1, P), jnp.float32)
     rows = [
         jax.lax.dot_general(
-            ones, x[b], (((1,), (0,)), ((), ())),
+            ones, cat[b], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         for b in range(B)
     ]
-    return jnp.concatenate(rows, axis=0)
+    red = jnp.concatenate(rows, axis=0)  # [B, G*K]
+    return [red[:, g * K:(g + 1) * K] for g in range(G)]
 
 
 def _splat_terms(f, px, py, alpha_clamp, alpha_min, t_min):
@@ -230,14 +239,13 @@ def _bwd_kernel(
 
     # dL/dw per pixel-slot: channel cotangents + the corr output.
     gw = gcorr * (dx * e0 + dy * e1)
+    gattrs = []
     for c in range(C):
         gacc_c = gacc_ref[:, c, :][:, :, None]  # [B, P, 1]
         attr_c = f[:, :, F_ATTR + c][:, None, :]
         gw = gw + gacc_c * attr_c
-        # dL/dattr_c (per slot): sum over pixels.
-        gfeat_ref[:, :, F_ATTR + c] = _pix_sum(
-            w * gacc_ref[:, c, :][:, :, None]
-        )
+        # dL/dattr_c (per slot): sum over pixels (reduced batched below).
+        gattrs.append(w * gacc_c)
 
     K = w.shape[-1]
     S = _prefix_mm(gw * w, _triangular(K, "upper_strict"))
@@ -255,34 +263,48 @@ def _bwd_kernel(
     gdx = gpow * (-(ca * dx + cb * dy)) + gcorr * w * e0
     gdy = gpow * (-(cc * dy + cb * dx)) + gcorr * w * e1
 
-    gfeat_ref[:, :, F_XY] = _pix_sum(gdx)
-    gfeat_ref[:, :, F_XY + 1] = _pix_sum(gdy)
-    gfeat_ref[:, :, F_CONIC] = _pix_sum(gpow * (-0.5 * dx * dx))
-    gfeat_ref[:, :, F_CONIC + 1] = _pix_sum(gpow * (-dx * dy))
-    gfeat_ref[:, :, F_CONIC + 2] = _pix_sum(gpow * (-0.5 * dy * dy))
-    gfeat_ref[:, :, F_OPAC] = _pix_sum(gop)
-    gfeat_ref[:, :, F_VALID] = jnp.zeros(gop.shape[:1] + gop.shape[2:3],
-                                         jnp.float32)
-    gfeat_ref[:, :, F_E] = _pix_sum(gcorr * w * dx)
-    gfeat_ref[:, :, F_E + 1] = _pix_sum(gcorr * w * dy)
+    reds = _pix_sum_many(
+        [
+            gdx,
+            gdy,
+            gpow * (-0.5 * dx * dx),
+            gpow * (-dx * dy),
+            gpow * (-0.5 * dy * dy),
+            gop,
+            gcorr * w * dx,
+            gcorr * w * dy,
+        ]
+        + gattrs
+    )
+    gfeat_ref[:, :, F_XY] = reds[0]
+    gfeat_ref[:, :, F_XY + 1] = reds[1]
+    gfeat_ref[:, :, F_CONIC] = reds[2]
+    gfeat_ref[:, :, F_CONIC + 1] = reds[3]
+    gfeat_ref[:, :, F_CONIC + 2] = reds[4]
+    gfeat_ref[:, :, F_OPAC] = reds[5]
+    gfeat_ref[:, :, F_VALID] = jnp.zeros(
+        gop.shape[:1] + gop.shape[2:3], jnp.float32
+    )
+    gfeat_ref[:, :, F_E] = reds[6]
+    gfeat_ref[:, :, F_E + 1] = reds[7]
+    for c in range(C):
+        gfeat_ref[:, :, F_ATTR + c] = reds[8 + c]
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(
     K: int, C: int, P: int, block: int,
     alpha_clamp: float, alpha_min: float, t_min: float, interpret: bool,
+    bwd_block: int = 1,
 ):
     F = F_ATTR + C
     kw = dict(C=C, alpha_clamp=alpha_clamp, alpha_min=alpha_min, t_min=t_min)
-
-    def _grid(NT):
-        return (NT // block,)
 
     def _fwd_call(feat, px, py):
         NT = feat.shape[0]
         return pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
-            grid=_grid(NT),
+            grid=(NT // block,),
             in_specs=[
                 pl.BlockSpec((block, K, F), lambda i: (i, 0, 0)),
                 pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
@@ -303,19 +325,24 @@ def _make_fused(
         )(feat, px, py)
 
     def _bwd_call(feat, px, py, gacc, gcorr, gt):
+        # The backward's live set (forward recompute + the gradient chains
+        # + the concatenated _pix_sum_many stack) is ~4x the forward's:
+        # block=4 measured 171 MB VMEM on v5e (over the 128 MB capacity),
+        # so the backward grids over a SMALLER block independently.
         NT = feat.shape[0]
+        bb = bwd_block
         return pl.pallas_call(
             functools.partial(_bwd_kernel, **kw),
-            grid=_grid(NT),
+            grid=(NT // bb,),
             in_specs=[
-                pl.BlockSpec((block, K, F), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, C, P), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
-                pl.BlockSpec((block, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, K, F), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, C, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, 1, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bb, 1, P), lambda i: (i, 0, 0)),
             ],
-            out_specs=[pl.BlockSpec((block, K, F), lambda i: (i, 0, 0))],
+            out_specs=[pl.BlockSpec((bb, K, F), lambda i: (i, 0, 0))],
             out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
             interpret=interpret,
             compiler_params=None if interpret else _vmem_limit(),
