@@ -72,6 +72,8 @@ def main():
     )
     batch = make_gt_batch(ds, model, 0)
     batch["lpips_params"] = lvars
+    if getattr(g, "vae_params", None) is not None:
+        batch["guidance_vae"] = g.vae_params  # production transport shape
     ref_ip = None
     if g.embed_ref is not None:
         ref_ip = jax.block_until_ready(
@@ -83,6 +85,14 @@ def main():
     rows = []
 
     def timed(name, call, compiled_for_cost=None):
+        try:
+            _timed(name, call, compiled_for_cost)
+        except Exception as e:  # noqa: BLE001 — a failed phase (OOM next to
+            # resident diffusion weights) must not lose the earlier rows
+            rows.append(dict(name=name, error=f"{type(e).__name__}: {e}"[:200]))
+            print(f"[prof] {name} FAILED: {e}"[:200], file=sys.stderr)
+
+    def _timed(name, call, compiled_for_cost=None):
         t0 = time.time()
         out = call()
         _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
@@ -193,18 +203,24 @@ def main():
     if prelude is not None:
         timed("full_split_step", full)
 
-    # ---- 6. no-SDS build ----
-    state0, fn0, _, _, _ = B.build_step(
-        params, model, ds, cfg, None, StageConfig(training_stage=0),
-        lpips_pair,
-    )
-    nosds_c = fn0.lower(state0, batch, key).compile()
+    # ---- 6. no-SDS build (for the delta).  May OOM next to the resident
+    # diffusion weights + both SDS executables; timed() keeps prior rows.
+    def no_sds():
+        state0, fn0, _, _, _ = B.build_step(
+            params, model, ds, cfg, None, StageConfig(training_stage=0),
+            lpips_pair,
+        )
+        b0 = {k: v for k, v in batch.items()
+              if k not in ("sds_target", "guidance_vae")}
+        nosds_c = fn0.lower(state0, b0, key).compile()
 
-    def run0():
-        _, m = nosds_c(state0, batch, key)
-        return m["loss"]
+        def run0():
+            _, m = nosds_c(state0, b0, key)
+            return m["loss"]
 
-    timed("step_no_sds", run0, nosds_c)
+        timed("step_no_sds", run0, nosds_c)
+
+    no_sds()
 
     print(json.dumps({"rows": rows}))
 

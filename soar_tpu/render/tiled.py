@@ -374,6 +374,7 @@ def _rasterize_core(
         accum, corr, t_final = composite_block(
             xy, conic, opac, slot_valid, attrs, e, pixf,
             cfg.alpha_clamp, cfg.alpha_min, cfg.transmittance_min,
+            block=cfg.pallas_block,
             interpret=pallas_interpret,
         )
         accum_color = accum[..., :C_ch]
@@ -503,6 +504,7 @@ def _rasterize_core(
             sg(xy_s), sg(conic_s), opac_s, slot_valid & front, occ_g,
             jnp.zeros_like(xy_s), pixf,
             cfg.alpha_clamp, cfg.alpha_min, cfg.transmittance_min,
+            block=cfg.pallas_block,
             interpret=pallas_interpret,
         )
         Tb = jnp.minimum(1.0 - 1e-6, t_final_b)

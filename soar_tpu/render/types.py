@@ -81,6 +81,12 @@ class RasterConfig:
     # intermediates).  Numerics match to ~1e-6 (log-space cumprod); gradients
     # match XLA autodiff through the same masks.
     composite: str = "xla"
+    # Tiles per Pallas grid step (fwd; the backward always grids per-tile).
+    # 1 is the production default: at the 512px shape (K=96, P=256, F=16)
+    # block=4 spilled 287 MB of scoped VMEM on v5e (128 MB capacity) —
+    # register pressure scales with the block, and per-tile grids already
+    # saturate the VPU at [256, 128] vector shapes.
+    pallas_block: int = 1
     scale_modifier: float = 1.0
     low_pass: float = 0.3  # 2D covariance dilation (forward.cu:119-120)
     alpha_clamp: float = 0.99
