@@ -272,16 +272,21 @@ def _rasters():
     from soar_tpu.render.types import RasterConfig
 
     comp = os.environ.get("SOAR_BENCH_COMPOSITE", "xla")
+    # Capacity A/B knobs: K (max_per_tile) linearly scales the dominant
+    # [NT, pixels, K] composite work of every render; dup_side bounds the
+    # sort.  The capped==0 canary stays the acceptance gate for any sweep.
+    mpt = int(os.environ.get("SOAR_BENCH_MAX_PER_TILE", "96"))
+    dup = int(os.environ.get("SOAR_BENCH_DUP_SIDE", "5"))
 
     def _raster(env):
         fb = os.environ.get(env, os.environ.get("SOAR_BENCH_FAT_BUDGET"))
         if fb is None:
             return None
         return RasterConfig(
-            max_per_tile=96, dup_side=5, fat_budget=int(fb), composite=comp
+            max_per_tile=mpt, dup_side=dup, fat_budget=int(fb), composite=comp
         )
 
-    raster = RasterConfig(max_per_tile=96, dup_side=5, composite=comp)
+    raster = RasterConfig(max_per_tile=mpt, dup_side=dup, composite=comp)
     return raster, _raster("SOAR_BENCH_FAT_GEN"), _raster("SOAR_BENCH_FAT_GT")
 
 
@@ -295,7 +300,16 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
 
     from soar_tpu.train.trainer import init_train_state, make_train_step
 
+    import os
+
     raster, raster_gen, raster_gt = _rasters()
+    # Production execution mode (round-4 A/B, PERFORMANCE.md item 20):
+    # the WHOLE SDS traces inside the train step with every weight tree
+    # as a jit argument — measured 1.038 steps/s vs ~0.95 for the split
+    # prelude at production knobs (the fused program deletes the split
+    # mode's duplicate gen renders + VAE + one dispatch).  Override with
+    # SOAR_BENCH_SDS_MODE=split for the two-program A/B reference.
+    sds_mode = os.environ.get("SOAR_BENCH_SDS_MODE", "fused")
     H, W = ds.images.shape[1:3]
     state, opt = init_train_state(params, cfg, stage=stage)
     raw = make_train_step(
@@ -316,30 +330,40 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
         lpips_fn=lpips_pair[0],
         lpips_via_batch=True,
         guidance_fn=guidance_fn,
-        # Production execution mode: the no-grad SDS half runs as its
-        # own program with the diffusion weights as jit arguments.  With
-        # selective remat (only the ~12 MB/view post-sort gathers saved)
-        # the full vmap-4 gen batch fits next to the resident diffusion
-        # weights and measures ~9% faster than sequential chunks of 2
-        # (0.946 vs 0.869 steps/s).
-        split_sds=guidance_fn is not None,
+        split_sds=guidance_fn is not None and sds_mode == "split",
+        sds_via_params=guidance_fn is not None and sds_mode == "fused",
+        # With selective remat (only the ~12 MB/view post-sort gathers
+        # saved) the full vmap-4 gen batch fits next to the resident
+        # diffusion weights and measures ~9% faster than sequential
+        # chunks of 2 (0.946 vs 0.869 steps/s).
         gen_chunk=None,
         # GT residuals fit next to the (CLIP-freed) diffusion weights;
         # keeping them saves the GT re-render in the backward (~10%).
         remat_gt=False,
     )
-    fn = jax.jit(raw)
-    fn.raw_step = raw  # un-jitted step (profilers time sub-programs off it)
+    jit_fn = jax.jit(raw)
     # NOTE: donate_argnums=(0,) would halve state memory, but the
     # axon remote transport host-copies donated buffers and races
     # their deletion ("Array has been deleted"); leave undonated.
-    # Fused no-grad half (renders + VAE + UNet target, one program,
-    # weights as jit args) — 2 dispatches/step, not 3.
-    prelude = (
-        guidance_fn.make_fused_prelude(raw.sds_prelude)
-        if raw.sds_prelude is not None
-        else None
-    )
+    if guidance_fn is not None and sds_mode == "fused":
+        gparams = guidance_fn.arg_params
+
+        def fn(state, batch, key):
+            # Weights stay jit ARGUMENTS — this wrapper only re-passes the
+            # same device buffers each call (pointers, not transfers).
+            return jit_fn(state, batch, key, gparams)
+
+        prelude = None
+    else:
+        fn = jit_fn
+        # Fused no-grad half (renders + VAE + UNet target, one program,
+        # weights as jit args) — 2 dispatches/step, not 3.
+        prelude = (
+            guidance_fn.make_fused_prelude(raw.sds_prelude)
+            if raw.sds_prelude is not None
+            else None
+        )
+    fn.raw_step = raw  # un-jitted step (profilers time sub-programs off it)
     return state, fn, prelude, guidance_fn, lpips_pair[1]
 
 
@@ -381,9 +405,14 @@ def time_steps(
     if prelude is not None and getattr(guidance_fn, "vae_params", None) is not None:
         # Split-SDS grad half: VAE variables ride as jit arguments (a
         # closure-captured VAE bakes ~75 MB of constants into the step
-        # executable — scripts/audit_executable.py --sds).
+        # executable — scripts/audit_executable.py --sds).  Fused mode
+        # passes the whole weight pytree via build_step's wrapper instead.
         batch["guidance_vae"] = guidance_fn.vae_params
-    if ref_ip is None and prelude is not None and guidance_fn.embed_ref is not None:
+    if (
+        ref_ip is None
+        and guidance_fn is not None
+        and getattr(guidance_fn, "embed_ref", None) is not None
+    ):
         # Per-frame ip tokens are precomputed once in production
         # (cli.train).  NOTE: callers that retry time_steps must embed
         # once THEMSELVES and pass ref_ip in — the CLIP tower is freed
@@ -392,6 +421,9 @@ def time_steps(
             guidance_fn.embed_ref(jnp.asarray(ds.normal_F[0]))
         )
         guidance_fn.release_image_encoder()
+    if guidance_fn is not None and prelude is None and ref_ip is not None:
+        # Fused mode reads the precomputed ip tokens from the batch.
+        batch["ref_ip"] = ref_ip
 
     def one_step(state, batch, k):
         if prelude is not None:
@@ -550,7 +582,7 @@ def phase_sds(scene, lpips_fn, deadline=None, provisional_cb=None):
     # Embed the ip reference ONCE here (the CLIP tower is freed after),
     # so the tenancy-retry loop can re-run time_steps safely.
     ref_ip = None
-    if prelude is not None and g.embed_ref is not None:
+    if g.embed_ref is not None:
         import jax as _jax
         import jax.numpy as _jnp
 

@@ -14,6 +14,11 @@ what to hoist into arguments.
 """
 
 import argparse
+import os
+
+# These tools decompose/lower the SPLIT two-program structure (prelude +
+# grad-half step); force it regardless of the production default.
+os.environ["SOAR_BENCH_SDS_MODE"] = "split"
 import collections
 import os
 import sys

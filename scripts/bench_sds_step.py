@@ -116,7 +116,9 @@ def main():
         guidance_kw = dict(mock=True, image_size=256, n_view=4)
     H, W = ds.images.shape[1:3]
     lpips_fn, lpips_vars = B._random_lpips_fn()
-    raster = RasterConfig(max_per_tile=96, dup_side=5)
+    # Shared knob surface with the headline bench (SOAR_BENCH_COMPOSITE /
+    # _MAX_PER_TILE / _DUP_SIDE / _FAT_*).
+    raster, raster_gen, raster_gt = B._rasters()
 
     guidance_fn = None
     stage = StageConfig(training_stage=0)
@@ -142,6 +144,8 @@ def main():
         gt_size=(H, W),
         normal_size=(gen_size, gen_size),
         raster=raster,
+        raster_gen=raster_gen,
+        raster_gt=raster_gt,
         use_explicit=False,
         has_normals=True,
         lpips_fn=lpips_fn,

@@ -19,6 +19,11 @@ Run on the real chip:  python scripts/profile_sds.py [--iters 5]
 """
 
 import argparse
+import os
+
+# These tools decompose/lower the SPLIT two-program structure (prelude +
+# grad-half step); force it regardless of the production default.
+os.environ["SOAR_BENCH_SDS_MODE"] = "split"
 import json
 import os
 import sys

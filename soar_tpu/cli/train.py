@@ -175,10 +175,15 @@ def main(argv=None):
         "all-reduces the gradients over ICI",
     )
     ap.add_argument(
-        "--sds-mode", type=str, default="split", choices=["split", "fused"],
-        help="split: the frozen UNet target compiles as its own program "
-        "(default — the fused train-step graph exceeds the axon "
-        "remote-compile transport); fused: single jit",
+        "--sds-mode", type=str, default="fused", choices=["split", "fused"],
+        help="fused (default): the whole SDS traces inside the train step "
+        "with every weight tree as a jit argument — measured 22%% faster "
+        "than split at identical knobs and 1.038 vs ~0.95 steps/s at "
+        "production knobs on v5e (it deletes the split mode's duplicate "
+        "gen renders + VAE + one dispatch; PERFORMANCE.md item 20). "
+        "split: the frozen-UNet target compiles as its own program "
+        "(smaller per-program executables; the round-2 default before "
+        "arg-passed weights made the fused graph transport-safe)",
     )
     ap.add_argument(
         "--sds-start", type=int, default=None,
