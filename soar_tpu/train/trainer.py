@@ -170,14 +170,15 @@ def make_train_step(
     # path.  Measured on the real chip (bench_trainstep A/B, same tenancy
     # window): the two-tier slot budget speeds every render in isolation
     # AND the guidance-free step (~+10%), but the vmapped gen renders
-    # inside the HBM-tight SDS program (resident diffusion weights) run
-    # ~13% SLOWER two-tiered — so with guidance active the gen path
-    # defaults to the single-tier grid (fat_budget=0) while GT passes
-    # stay two-tiered (0.947 -> 0.956 steps/s SDS-on).
+    # inside the HBM-tight SPLIT-SDS program (resident diffusion weights
+    # + separate prelude) ran ~13% SLOWER two-tiered — so split mode keeps
+    # the single-tier gen grid (fat_budget=0).  Under the FUSED production
+    # mode the sign flips back: two-tier gen measured 1.086 vs 1.038
+    # steps/s (round 4), so only split_sds forces single-tier.
     if raster_gen is None:
         raster_gen = (
             dataclasses.replace(raster, fat_budget=0)
-            if guidance_fn is not None
+            if (guidance_fn is not None and split_sds)
             else raster
         )
     gen_settings = RenderSettings(
