@@ -20,6 +20,7 @@ attributes into the field (``sdf_fields.py:221-250``) — as one jitted
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -138,6 +139,8 @@ def reset_field(
     cfg: AttributeFieldConfig = AttributeFieldConfig(),
     steps: int = 1000,
     lr: float = 1e-3,
+    batch_size: Optional[int] = None,
+    seed: int = 0,
 ) -> Tuple[Dict, jnp.ndarray]:
     """Distill explicit attributes into the field: 1000 Adam steps on
     mse(shs) + 1000*mse(scales) + mse(quats) (``sdf_fields.py:221-250``),
@@ -158,34 +161,64 @@ def reset_field(
     aabb = params["aabb"]
     pos, _ = normalize_positions(xyz, aabb)
 
-    def loss_fn(p):
+    def loss_fn(p, pos_b, shs_b, scales_b, quats_b):
         out = attribute_field_apply(
-            dict(p, aabb=aabb), pos, cfg=cfg, is_normalized=True,
+            dict(p, aabb=aabb), pos_b, cfg=cfg, is_normalized=True,
             heads=("shs", "scales", "quats"),
         )
         return (
-            jnp.mean((out["shs"] - gt_shs) ** 2)
-            + 1000.0 * jnp.mean((out["scales"] - gt_scales) ** 2)
-            + jnp.mean((out["quats"] - gt_quats) ** 2)
+            jnp.mean((out["shs"] - shs_b) ** 2)
+            + 1000.0 * jnp.mean((out["scales"] - scales_b) ** 2)
+            + jnp.mean((out["quats"] - quats_b) ** 2)
         )
 
     opt = optax.adam(lr)
+    # ``batch_size``: SGD minibatching (uniform with replacement, one draw
+    # per step).  The per-step cost is dominated by the hash-table
+    # ``take``-backward scatter-add (rows ∝ points x levels), so the
+    # production caller batches (measured ~1.25 s/step full-batch at 251k
+    # points on v5e); None keeps the reference's full-batch semantics.
+    use_batch = batch_size is not None and batch_size < pos.shape[0]
+
+    # Bounded dispatches: ONE scan over all ``steps`` is a single device
+    # program whose runtime grows past multi-minute at production scale
+    # (251k points x 16 levels), and long-running programs get the TPU
+    # worker killed ("UNAVAILABLE: TPU worker process crashed or
+    # restarted" — the fault surfaces asynchronously on the NEXT op,
+    # which made this bug land on whatever ran after init_avatar).
+    # Chunking to <=50-step programs (measured ~60 s worst-case each)
+    # keeps every dispatch inside the watchdog; the chunked jit compiles
+    # ONCE and the carry (params + Adam state) stays on device between
+    # dispatches.
+    chunk = min(steps, 50)
+
+    def step(carry, key):
+        p, state = carry
+        if use_batch:
+            idx = jax.random.randint(
+                key, (batch_size,), 0, pos.shape[0]
+            )
+            args = (pos[idx], gt_shs[idx], gt_scales[idx], gt_quats[idx])
+        else:
+            args = (pos, gt_shs, gt_scales, gt_quats)
+        loss, grads = jax.value_and_grad(loss_fn)(p, *args)
+        updates, state = opt.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+        return (p, state), loss
 
     @jax.jit
-    def run(p):
-        state = opt.init(p)
+    def run_chunk(p, state, keys):
+        (p, state), losses = jax.lax.scan(step, (p, state), keys)
+        return p, state, losses
 
-        def step(carry, _):
-            p, state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, state = opt.update(grads, state, p)
-            p = optax.apply_updates(p, updates)
-            return (p, state), loss
-
-        (p, _), losses = jax.lax.scan(step, (p, state), None, length=steps)
-        return p, losses
-
-    trained, losses = run(trainable)
+    p, state = trainable, opt.init(trainable)
+    loss_parts = []
+    all_keys = jax.random.split(jax.random.PRNGKey(seed), steps)
+    for start in range(0, steps, chunk):
+        keys = all_keys[start:start + chunk]
+        p, state, losses = run_chunk(p, state, keys)
+        loss_parts.append(losses)
+    losses = jnp.concatenate(loss_parts)
     merged = dict(params)
-    merged.update(trained)
+    merged.update(p)
     return merged, losses
