@@ -540,6 +540,15 @@ def main(argv=None):
                     lpips_fn=lpips_fn,
                     lpips_via_batch=lpips_fn is not None,
                     guidance_fn=None,
+                    # The guidance-free default (no remat) saves every
+                    # render's composite intermediates for the backward —
+                    # multi-GB at 512px.  Fine standalone, but HERE the
+                    # diffusion weights are already resident for the SDS
+                    # phase, and the combination OOMs a 16 GB chip
+                    # (measured: RESOURCE_EXHAUSTED on warm step 1).  The
+                    # warm program therefore remats like the SDS build.
+                    remat_gen=True,
+                    remat_gt=True,
                     shard_views=shard_views_fn,
                     shard_gt=shard_gt_fn,
                 )
@@ -649,6 +658,16 @@ def main(argv=None):
                     batch["guidance_vae"] = guidance_fn.vae_params
             with timer.phase("step"):
                 warm = warm_step_fn is not None and it <= stage_cfg.sds_start
+                if warm_step_fn is not None and it == stage_cfg.sds_start + 1:
+                    # Leaving the warm phase: FREE the warm program before
+                    # the (much larger) fused-SDS program first runs — on
+                    # a 16 GB chip the two executables' workspaces + the
+                    # resident diffusion weights do not coexist (measured:
+                    # RESOURCE_EXHAUSTED at the phase switch; with the warm
+                    # program released the fused path runs).  A later
+                    # --resume into the warm window simply re-jits.
+                    warm_step_fn.clear_cache()
+                    warm_step_fn = None
                 if prelude_fn is not None and not warm:
                     # split-SDS: the fused no-grad half (gen renders +
                     # VAE + frozen-UNet x0 target, program 1), then the
