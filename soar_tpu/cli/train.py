@@ -115,9 +115,11 @@ def main(argv=None):
     ap.add_argument("--use-explicit", action="store_true")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--import-ckpt", type=str, default=None,
-                    help="warm-start surfel params (+field when layouts "
-                    "match) from a REFERENCE Lightning .ckpt before "
-                    "training (docs/REAL_WEIGHTS.md §5)")
+                    help="warm-start from a REFERENCE Lightning .ckpt "
+                    "before training: explicit surfel params map by name; "
+                    "in field-driven (non --use-explicit) runs the "
+                    "reference attribute field is distilled into the hash "
+                    "field (docs/REAL_WEIGHTS.md §5)")
     ap.add_argument("--eval", action="store_true", help="run test split at end")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--dump-every", type=int, default=250)
@@ -284,15 +286,49 @@ def main(argv=None):
     if args.import_ckpt:
         # Warm-start from a REFERENCE Lightning checkpoint (the real-weights
         # fine-tune drill, docs/REAL_WEIGHTS.md §5): explicit surfel params
-        # map by name; the attribute field imports only for matching
-        # corner-mode capacity (import_reference_ckpt docstring).  Unlike
+        # map by name; when the checkpoint carries attribute-field weights
+        # and the run is field-driven, the reference field's predictions at
+        # the canonical points are DISTILLED into our hash field (same
+        # reset_field machinery as the smpl: init) so the warm start covers
+        # rendered colors/scales/quats too (ADVICE r4 medium).  Unlike
         # --resume this does not restore a step counter.
-        from ..io.checkpoint import import_reference_ckpt
+        from ..io.checkpoint import (
+            import_reference_ckpt,
+            import_reference_field_from_ckpt,
+            load_reference_state_dict,
+        )
 
-        mapped = import_reference_ckpt(args.import_ckpt, like=params)
+        ref_sd = load_reference_state_dict(args.import_ckpt)
+        mapped = import_reference_ckpt(
+            args.import_ckpt, like=params, state_dict=ref_sd
+        )
         params = params._replace(
             **{k: jnp.asarray(v) for k, v in mapped.items()}
         )
+        rf = import_reference_field_from_ckpt(
+            args.import_ckpt, state_dict=ref_sd
+        )
+        if rf is not None and not args.use_explicit:
+            from ..field.attribute_field import reset_field
+            from ..field.reference_import import reference_field_apply
+
+            t_f = time.time()
+            ref_attrs = reference_field_apply(rf, params.xyz)
+            field, _ = reset_field(
+                params.field, params.xyz,
+                ref_attrs["shs"], ref_attrs["scales"], ref_attrs["quats"],
+                cfg=model.field_cfg, steps=1000,
+                batch_size=(
+                    65536 if int(params.xyz.shape[0]) > 100_000 else None
+                ),
+            )
+            params = params._replace(field=field)
+            print(f"distilled reference attribute field into the hash "
+                  f"field ({time.time()-t_f:.1f}s)")
+        elif rf is not None:
+            print("warning: --use-explicit ignores the checkpoint's "
+                  "attribute-field weights (colors/scales/quats come from "
+                  "the explicit tensors)")
         print(f"imported reference ckpt {args.import_ckpt} "
               f"({sorted(mapped)})")
     resume_step = 0

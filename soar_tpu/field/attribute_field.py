@@ -20,7 +20,6 @@ attributes into the field (``sdf_fields.py:221-250``) — as one jitted
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -189,10 +188,15 @@ def reset_field(
     # Chunking to <=50-step programs (measured ~60 s worst-case each)
     # keeps every dispatch inside the watchdog; the chunked jit compiles
     # ONCE and the carry (params + Adam state) stays on device between
-    # dispatches.
+    # dispatches.  When ``steps`` is not a chunk multiple the final slice
+    # is PADDED to the chunk length with masked no-op steps (``live=0``
+    # freezes params and Adam state), so every dispatch has the same scan
+    # shape — one compile — while the optimization trajectory stays
+    # exactly ``steps`` updates long.
     chunk = min(steps, 50)
 
-    def step(carry, key):
+    def step(carry, inputs):
+        key, live = inputs
         p, state = carry
         if use_batch:
             idx = jax.random.randint(
@@ -202,23 +206,31 @@ def reset_field(
         else:
             args = (pos, gt_shs, gt_scales, gt_quats)
         loss, grads = jax.value_and_grad(loss_fn)(p, *args)
-        updates, state = opt.update(grads, state, p)
-        p = optax.apply_updates(p, updates)
-        return (p, state), loss
+        updates, new_state = opt.update(grads, state, p)
+        new_p = optax.apply_updates(p, updates)
+        sel = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+            lambda x, y: jnp.where(live, x, y), a, b
+        )
+        return (sel(new_p, p), sel(new_state, state)), loss
 
     @jax.jit
-    def run_chunk(p, state, keys):
-        (p, state), losses = jax.lax.scan(step, (p, state), keys)
+    def run_chunk(p, state, keys, live):
+        (p, state), losses = jax.lax.scan(step, (p, state), (keys, live))
         return p, state, losses
 
     p, state = trainable, opt.init(trainable)
     loss_parts = []
-    all_keys = jax.random.split(jax.random.PRNGKey(seed), steps)
-    for start in range(0, steps, chunk):
+    n_chunks = -(-steps // chunk)
+    padded = n_chunks * chunk
+    all_keys = jax.random.split(jax.random.PRNGKey(seed), padded)
+    live_all = (jnp.arange(padded) < steps).astype(jnp.float32)
+    for start in range(0, padded, chunk):
         keys = all_keys[start:start + chunk]
-        p, state, losses = run_chunk(p, state, keys)
+        p, state, losses = run_chunk(
+            p, state, keys, live_all[start:start + chunk]
+        )
         loss_parts.append(losses)
-    losses = jnp.concatenate(loss_parts)
+    losses = jnp.concatenate(loss_parts)[:steps]
     merged = dict(params)
     merged.update(p)
     return merged, losses

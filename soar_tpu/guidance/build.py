@@ -540,8 +540,20 @@ def build_guidance(
             "text": text_embeddings,
         }
 
-        def apply_with_params(gp, inp, c2w, step, key, ref_rgb=None,
+        def apply_with_params(gp, inp, c2w, step, key,
                               ref_mask=None, comp_bg=None, ref_ip=None):
+            # No ref_rgb path here by design: the fused mode conditions on
+            # PRECOMPUTED ip tokens only (the CLIP tower stays out of the
+            # step program).  An imagedream run without them would silently
+            # drop image conditioning — fail loudly instead (ADVICE r4).
+            if kind == "imagedream" and ref_ip is None:
+                raise ValueError(
+                    "fused imagedream SDS needs precomputed ip tokens "
+                    "(batch['ref_ip']); embed the per-frame references with "
+                    "guidance.embed_ref first (cli/train precomputes them), "
+                    "or run --sds-mode split / guidance mvdream"
+                )
+
             def enc(images01, k):
                 z = vae.apply(gp["vae"], images01.astype(dtype), k)
                 return z.astype(jnp.float32)

@@ -80,12 +80,12 @@ def import_reference_ckpt(
     parameters to our field names.
 
     Returns a dict of numpy arrays keyed by AvatarParams field name; callers
-    ``params._replace(**{k: jnp.asarray(v) ...})``.  The neural-field weights
-    (tcnn hash tables + nerfstudio MLPs) are architecture-specific and are
-    imported only when the field was built in ``corner`` mode with matching
-    capacity; otherwise they are skipped with a warning (the explicit params
-    alone reproduce the geometry; colors come from ``_colors`` in
-    use_explicit mode, cf. ``renderer/diff_gaussian_rasterizer.py:240-244``).
+    ``params._replace(**{k: jnp.asarray(v) ...})``.  This maps ONLY the
+    explicit surfel tensors — the neural-field weights are a separate
+    import: :func:`import_reference_field_from_ckpt` reconstructs the
+    reference field exactly (both nerfstudio layouts), and callers either
+    render straight from its predictions (``cli/render_rot``) or distill
+    them into our hash field (``cli/train --import-ckpt``).
     """
     sd = load_reference_state_dict(path) if state_dict is None else state_dict
     out = {}

@@ -138,3 +138,28 @@ def test_reset_field_distills():
     assert float(losses[-1]) < float(losses[0]) * 0.5
     out = attribute_field_apply(trained, xyz, cfg=TINY_FIELD)
     assert float(jnp.mean((out["shs"] - gt_shs) ** 2)) < 0.05
+
+
+def test_reset_field_partial_chunk_is_exact():
+    """A non-chunk-multiple step count pads the final scan with MASKED
+    no-op steps (same program shape, one compile) — the trajectory must be
+    exactly ``steps`` updates: in full-batch mode (deterministic, keys
+    unused) a 55-step run's first 50 losses equal a 50-step run's, and the
+    padded tail changes nothing after step 55."""
+    aabb = jnp.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    params = init_attribute_field(jax.random.PRNGKey(0), aabb, TINY_FIELD)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.8, maxval=0.8)
+    gt_shs = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+    gt_scales = jax.random.uniform(jax.random.PRNGKey(3), (64, 1)) * 2e-2
+    q = jax.random.normal(jax.random.PRNGKey(4), (64, 4))
+    gt_quats = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+    args = (xyz, gt_shs, gt_scales, gt_quats)
+    _, l50 = reset_field(params, *args, cfg=TINY_FIELD, steps=50)
+    p55, l55 = reset_field(params, *args, cfg=TINY_FIELD, steps=55)
+    assert l55.shape == (55,)
+    np.testing.assert_allclose(np.asarray(l50), np.asarray(l55[:50]), rtol=1e-6)
+    # The 100-step padded run agrees with the 55-step run at step 55
+    # (identical prefix trajectory; the pad steps froze nothing extra in).
+    p60, l60 = reset_field(params, *args, cfg=TINY_FIELD, steps=60)
+    np.testing.assert_allclose(np.asarray(l55), np.asarray(l60[:55]), rtol=1e-6)
