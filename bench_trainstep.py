@@ -275,18 +275,24 @@ def _rasters():
     # Capacity A/B knobs: K (max_per_tile) linearly scales the dominant
     # [NT, pixels, K] composite work of every render; dup_side bounds the
     # sort.  The capped==0 canary stays the acceptance gate for any sweep.
+    # COMPOSITE_DTYPE=bf16 rides the [NT, pixels, K] intermediates in bf16
+    # with f32 channel accumulation (RasterConfig.composite_dtype).
     mpt = int(os.environ.get("SOAR_BENCH_MAX_PER_TILE", "96"))
     dup = int(os.environ.get("SOAR_BENCH_DUP_SIDE", "5"))
+    cdt = os.environ.get("SOAR_BENCH_COMPOSITE_DTYPE", "f32")
 
     def _raster(env):
         fb = os.environ.get(env, os.environ.get("SOAR_BENCH_FAT_BUDGET"))
         if fb is None:
             return None
         return RasterConfig(
-            max_per_tile=mpt, dup_side=dup, fat_budget=int(fb), composite=comp
+            max_per_tile=mpt, dup_side=dup, fat_budget=int(fb),
+            composite=comp, composite_dtype=cdt,
         )
 
-    raster = RasterConfig(max_per_tile=mpt, dup_side=dup, composite=comp)
+    raster = RasterConfig(
+        max_per_tile=mpt, dup_side=dup, composite=comp, composite_dtype=cdt
+    )
     return raster, _raster("SOAR_BENCH_FAT_GEN"), _raster("SOAR_BENCH_FAT_GT")
 
 
@@ -310,6 +316,10 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
     # mode's duplicate gen renders + VAE + one dispatch).  Override with
     # SOAR_BENCH_SDS_MODE=split for the two-program A/B reference.
     sds_mode = os.environ.get("SOAR_BENCH_SDS_MODE", "fused")
+    # Gen-view render resolution (SOAR_BENCH_GEN_RES): the reference
+    # renders gen at 512 then downsamples to 256 before the VAE; 256
+    # renders AT the guidance resolution — 4x fewer gen-composite bytes.
+    gen_res = int(os.environ.get("SOAR_BENCH_GEN_RES", "512"))
     H, W = ds.images.shape[1:3]
     state, opt = init_train_state(params, cfg, stage=stage)
     raw = make_train_step(
@@ -317,7 +327,7 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
         cfg,
         stage,
         opt,
-        gen_size=(512, 512),
+        gen_size=(gen_res, gen_res),
         gt_size=(H, W),
         normal_size=(512, 512),
         raster=raster,

@@ -81,17 +81,20 @@ def query_attributes(params: AvatarParams, model: AvatarModel):
     )
 
 
-def render_view(
+def posed_gaussians(
     params: AvatarParams,
     model: AvatarModel,
-    camera: Camera,
-    image_size: Tuple[int, int],
-    bg_color: jnp.ndarray,
     frame_idx: jnp.ndarray,
     settings: RenderSettings = RenderSettings(),
     attrs: Optional[Dict[str, jnp.ndarray]] = None,
     smpl_override: Optional[Dict[str, jnp.ndarray]] = None,
-) -> Dict[str, jnp.ndarray]:
+) -> Tuple[GaussianInputs, jnp.ndarray]:
+    """LBS-pose the avatar for one frame and assemble the rasterizer inputs.
+
+    The camera-independent first half of :func:`render_view`, exposed so
+    analysis tools (``scripts/bench_truncation.py``) can drive the raw
+    rasterizer / oracle on the EXACT production inputs.  Returns
+    ``(GaussianInputs, occ_colors)``."""
     points = params.xyz
     rot = S.get_rotation(params)
 
@@ -138,6 +141,32 @@ def render_view(
     else:
         opac = S.get_opacity(params)[:, 0]
 
+    g_main = GaussianInputs(
+        means3d=posed,
+        quats=rot_out,
+        scales=scales,
+        opacities=opac,
+        colors=colors,
+    )
+    occ_colors = jnp.broadcast_to(S.get_occ(params), (points.shape[0], 3))
+    return g_main, occ_colors
+
+
+def render_view(
+    params: AvatarParams,
+    model: AvatarModel,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+    settings: RenderSettings = RenderSettings(),
+    attrs: Optional[Dict[str, jnp.ndarray]] = None,
+    smpl_override: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    g_main, occ_colors = posed_gaussians(
+        params, model, frame_idx, settings, attrs, smpl_override
+    )
+
     main_cfg = dataclasses.replace(
         settings.raster,
         render_front=False,
@@ -148,15 +177,6 @@ def render_view(
         # preprocess/sort with the occlusion pass.
         compose_reverse=not (settings.render_front or settings.both_faces),
     )
-
-    g_main = GaussianInputs(
-        means3d=posed,
-        quats=rot_out,
-        scales=scales,
-        opacities=opac,
-        colors=colors,
-    )
-    occ_colors = jnp.broadcast_to(S.get_occ(params), (points.shape[0], 3))
 
     def post(out, occ_out):
         mask = out.opac > 1e-5

@@ -165,6 +165,15 @@ def main(argv=None):
                     help="random-init full-shape guidance networks (smoke/"
                     "bench path for this zero-egress environment)")
     ap.add_argument("--guidance-image-size", type=int, default=256)
+    ap.add_argument(
+        "--gen-res", type=int, default=None,
+        help="resolution of the SDS gen-view renders (default: the config "
+        "data.width, 512 in every shipped YAML).  The reference renders "
+        "gen at 512 and immediately downsamples to 256 before the VAE "
+        "(imagedream_guidance.py:91-98); 256 renders the gen views AT the "
+        "guidance resolution — ~4x fewer bytes through the composite (the "
+        "gen-side nc/curv losses then evaluate at 256)",
+    )
     ap.add_argument("--guidance-dtype", type=str, default="bf16",
                     choices=["bf16", "f32"],
                     help="guidance network compute dtype (the reference "
@@ -276,7 +285,11 @@ def main(argv=None):
         # with a different resolution was silently ignored); the normal
         # supervision pass renders at the stored maps' resolution (the same
         # grid make_gt_batch builds normal_cam for).
-        gen_size = (cfg.height, cfg.width)
+        gen_size = (
+            (args.gen_res, args.gen_res)
+            if args.gen_res
+            else (cfg.height, cfg.width)
+        )
         nres = (
             ds.normal_F.shape[1]
             if getattr(ds, "normal_F", np.zeros(0)).size

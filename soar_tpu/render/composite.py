@@ -103,24 +103,32 @@ def finalize(
 ):
     """Output assembly (``forward.cu:616-633``): T clamped to <= 1-1e-6,
     color composited over bg, depth normalized by accumulated alpha (or the
-    reference's ``D + T*10`` fallback)."""
-    T = jnp.minimum(1.0 - 1e-6, t_final)
-    # precision=HIGHEST: on TPU the default matmul precision rounds the f32
-    # channel reduction through bf16 (measured 3.4e-3 abs error vs an f64
-    # oracle on v5e); the reference CUDA composite accumulates in fp32
-    # (forward.cu:616-633), so the K-contraction must stay f32-exact.  The
-    # contraction is tiny (K x C per pixel) — cost is negligible.
+    reference's ``D + T*10`` fallback).
+
+    Accepts f32 or bf16 slot tensors (``RasterConfig.composite_dtype``);
+    every K-contraction accumulates in f32 and all outputs are f32."""
+    f32 = jnp.float32
+    T = jnp.minimum(1.0 - 1e-6, t_final.astype(f32))
+    # precision=HIGHEST + f32 accumulation: on TPU the default matmul
+    # precision rounds the f32 channel reduction through bf16 (measured
+    # 3.4e-3 abs error vs an f64 oracle on v5e); the reference CUDA
+    # composite accumulates in fp32 (forward.cu:616-633), so the
+    # K-contraction must accumulate f32 even when the slot tensors ride
+    # bf16.  The contraction is tiny (K x C per pixel) — cost is
+    # negligible.
     _HP = jax.lax.Precision.HIGHEST
     color = (
-        jnp.einsum("...k,...kc->...c", weights, colors, precision=_HP)
-        + T[..., None] * bg_color
+        jnp.einsum("...k,...kc->...c", weights, colors, precision=_HP,
+                   preferred_element_type=f32)
+        + T[..., None] * jnp.asarray(bg_color, f32)
     )
     if surface:
         normal = jnp.einsum("...k,...kc->...c", weights, normals,
-                            precision=_HP)
+                            precision=_HP, preferred_element_type=f32)
     else:
-        normal = jnp.zeros(color.shape[:-1] + (3,), color.dtype)
-    D = jnp.sum(weights * depths, axis=-1)
+        normal = jnp.zeros(color.shape[:-1] + (3,), f32)
+    D = jnp.einsum("...k,...k->...", weights, depths, precision=_HP,
+                   preferred_element_type=f32)
     depth = D / (1.0 - T) if normalize_depth else D + T * 10.0
     opac = 1.0 - T
     return color, normal, depth, opac, T

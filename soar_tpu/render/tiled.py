@@ -338,6 +338,9 @@ def _rasterize_core(
     # kernels compile natively; anywhere else they run in interpret mode so
     # the CPU test suite exercises the exact same code path.
     pallas_interpret = jax.default_backend() != "tpu"
+    # bf16 composite intermediates (None = reference-exact f32); see
+    # ``RasterConfig.composite_dtype``.
+    cdt = jnp.bfloat16 if cfg.composite_dtype == "bf16" else None
 
     def composite_main_pallas(g):
         """Fused-kernel variant of ``composite_main``: the whole
@@ -419,6 +422,11 @@ def _rasterize_core(
             cfg.alpha_clamp,
             cfg.alpha_min,
         )  # [NT, P, K]
+        if cdt is not None:
+            # bf16 composite (``RasterConfig.composite_dtype``): the splat
+            # set is decided in f32 above; the [NT, P, K] exclusion cumprod
+            # + weights ride bf16 and finalize() accumulates channels f32.
+            alpha = alpha.astype(cdt)
         weights, t_final = composite_weights(alpha, cfg.transmittance_min)
 
         if cfg.surface and cfg.perpix_depth:
@@ -435,18 +443,22 @@ def _rasterize_core(
             dif_z = du0 * jinv[:, None, :, 6] + du1 * jinv[:, None, :, 9]
             depth_k = depths[:, None, :] - dif_z
         else:
-            depth_k = jnp.broadcast_to(depths[:, None, :], alpha.shape)
+            depth_k = jnp.broadcast_to(
+                depths[:, None, :], alpha.shape
+            ).astype(alpha.dtype)
 
         color, normal, depth, opac_out, T = finalize(
             weights,
             t_final,
             jnp.broadcast_to(
-                colors[:, None], (NT, tile * tile) + colors.shape[1:]
+                colors.astype(alpha.dtype)[:, None],
+                (NT, tile * tile) + colors.shape[1:],
             ),
             jnp.broadcast_to(
-                normals[:, None], (NT, tile * tile) + normals.shape[1:]
+                normals.astype(alpha.dtype)[:, None],
+                (NT, tile * tile) + normals.shape[1:],
             ),
-            depth_k,
+            depth_k.astype(alpha.dtype),
             bg,
             cfg.surface,
             cfg.normalize_depth,
@@ -519,13 +531,17 @@ def _rasterize_core(
             cfg.alpha_clamp,
             cfg.alpha_min,
         )
+        if cdt is not None:
+            alpha_b = alpha_b.astype(cdt)
         weights_b, t_final_b = composite_weights(
             alpha_b, cfg.transmittance_min
         )
-        Tb = jnp.minimum(1.0 - 1e-6, t_final_b)
+        Tb = jnp.minimum(1.0 - 1e-6, t_final_b.astype(jnp.float32))
         color_b = (
-            jnp.einsum("npk,nkc->npc", weights_b, occ_g,
-                       precision=jax.lax.Precision.HIGHEST)
+            jnp.einsum("npk,nkc->npc", weights_b,
+                       occ_g.astype(alpha_b.dtype),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
             + Tb[..., None] * bg
         )
     ref_out = main_ret[0] if also_back else main_ret

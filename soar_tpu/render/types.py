@@ -81,6 +81,18 @@ class RasterConfig:
     # intermediates).  Numerics match to ~1e-6 (log-space cumprod); gradients
     # match XLA autodiff through the same masks.
     composite: str = "xla"
+    # Composite element dtype for the dominant [tiles, pixels, K]
+    # intermediates (alpha / exclusion cumprod / blend weights / per-slot
+    # depths) in the XLA composite: "f32" = reference-exact accumulation
+    # (default); "bf16" halves the bytes of the bandwidth-bound composite
+    # stage (PERFORMANCE.md item 20: the step runs at 88% of HBM peak, so
+    # bytes ARE time).  Channel contractions always accumulate in f32 on
+    # the MXU (preferred_element_type) and alpha itself is computed in f32
+    # before the cast, so the error is bf16 quantization of the weights:
+    # measured PSNR vs the f32 composite at the production 512px shape is
+    # reported by scripts/bench_truncation.py.  The alpha skip rules and
+    # early-stop thresholds are evaluated in f32 — identical splat sets.
+    composite_dtype: str = "f32"
     # Tiles per Pallas grid step (fwd; the backward always grids per-tile).
     # 1 is the production default: at the 512px shape (K=96, P=256, F=16)
     # block=4 spilled 287 MB of scoped VMEM on v5e (128 MB capacity) —

@@ -531,3 +531,35 @@ def test_degenerate_camera_plane_surfel_stays_finite():
     # never receives NaN params from finite ones); every other surfel's
     # gradient must be finite.
     assert np.isfinite(grad[:2]).all() and np.isfinite(grad[3:]).all()
+
+
+def test_bf16_composite_tracks_f32():
+    """``RasterConfig.composite_dtype="bf16"`` rides the [NT, P, K]
+    composite intermediates in bf16 (f32 channel accumulation) — the fast
+    knob for the bandwidth-bound production step.  Values must track the
+    f32 composite to bf16 quantization error and gradients must stay
+    finite and directionally aligned."""
+    g = make_scene(n=60)
+    cam = make_camera()
+    H = W = 64
+    bg = jnp.array([0.1, 0.1, 0.1])
+    f32 = RasterConfig(max_per_tile=64, dup_side=4)
+    b16 = RasterConfig(max_per_tile=64, dup_side=4, composite_dtype="bf16")
+    a = rasterize(g, cam, (H, W), bg, f32)
+    b = rasterize(g, cam, (H, W), bg, b16)
+    assert b.color.dtype == jnp.float32  # outputs stay f32
+    np.testing.assert_allclose(b.color, a.color, atol=2e-2)
+    np.testing.assert_allclose(b.opac, a.opac, atol=2e-2)
+    np.testing.assert_allclose(b.normal, a.normal, atol=3e-2)
+
+    target = jnp.full((H, W, 3), 0.5)
+
+    def loss(colors, cfg):
+        out = rasterize(g._replace(colors=colors), cam, (H, W), bg, cfg)
+        return jnp.mean((out.color - target) ** 2)
+
+    ga = np.asarray(jax.grad(loss)(g.colors, f32)).ravel()
+    gb = np.asarray(jax.grad(loss)(g.colors, b16)).ravel()
+    assert np.isfinite(gb).all()
+    cos = ga @ gb / max(np.linalg.norm(ga) * np.linalg.norm(gb), 1e-12)
+    assert cos > 0.99, cos
