@@ -56,6 +56,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="tiny CPU smoke instead of the production scene")
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="orbax avatar checkpoint (cli.train output dir) to "
+                    "measure at a TRAINED state — the representative "
+                    "number: the fresh-init scene is a translucent cloud "
+                    "hundreds of splats deep where past-K splats still "
+                    "carry real light, while a trained avatar saturates "
+                    "at the surface")
     ap.add_argument("--out", type=str, default=None,
                     help="also append the JSON result to this file")
     ap.add_argument("--oracle-chunk", type=int, default=256,
@@ -85,6 +92,11 @@ def main(argv=None):
 
         params, model, ds, _cfg = build_scene()
         H = W = 512
+    if args.ckpt:
+        from soar_tpu.io.checkpoint import load_avatar
+
+        params, step = load_avatar(args.ckpt, params)
+        print(f"[trunc] loaded {args.ckpt} @ step {step}", file=sys.stderr)
 
     settings = RenderSettings(use_explicit=False)
     attrs = query_attributes(params, model)
@@ -120,7 +132,10 @@ def main(argv=None):
     }
     views = {"gt": (g_gt, gt_cam), "gen": (g_gen, gen_cam)}
 
-    result = {"shape": f"{H}px_{int(params.xyz.shape[0])}surfels"}
+    result = {
+        "shape": f"{H}px_{int(params.xyz.shape[0])}surfels",
+        "state": args.ckpt or "fresh-init",
+    }
     for vname, (g, cam) in views.items():
         t0 = time.time()
         oracle = rasterize_oracle(

@@ -399,14 +399,17 @@ def convert_vae_torch_params(sd: Dict) -> Dict:
             out["Conv_2"] = conv(tp + ".nin_shortcut")
         return out
 
-    chans = [128, 128, 256, 512, 512]
-    for level in range(4):
+    # Level count from key presence (4 in the real SD VAE; tiny parity
+    # configs have fewer).
+    level = 0
+    while f"encoder.down.{level}.block.0.norm1.weight" in sd:
         for i in range(2):
             tp = f"encoder.down.{level}.block.{i}"
             has_skip = (tp + ".nin_shortcut.weight") in sd
             p[f"down_{level}_{i}"] = resblock(tp, has_skip)
         if f"encoder.down.{level}.downsample.conv.weight" in sd:
             p[f"down_{level}_ds"] = conv(f"encoder.down.{level}.downsample.conv")
+        level += 1
     p["mid_res0"] = resblock("encoder.mid.block_1", False)
     p["mid_res1"] = resblock("encoder.mid.block_2", False)
 
