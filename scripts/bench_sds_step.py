@@ -112,9 +112,14 @@ def main():
         guidance_kw = dict(tiny=True, image_size=64, n_view=cfg.n_views)
     else:
         params, model, ds, cfg = B.build_scene()
-        gen_size = 512
+        # Gen render resolution A/B (SOAR_BENCH_GEN_RES, default 512): 256
+        # renders the gen views AT the guidance resolution (see
+        # bench_trainstep.build_step).  The normal-supervision pass stays at
+        # the stored maps' 512.
+        gen_size = int(os.environ.get("SOAR_BENCH_GEN_RES", "512"))
         guidance_kw = dict(mock=True, image_size=256, n_view=4)
     H, W = ds.images.shape[1:3]
+    normal_size = 512 if not args.small else gen_size
     lpips_fn, lpips_vars = B._random_lpips_fn()
     # Shared knob surface with the headline bench (SOAR_BENCH_COMPOSITE /
     # _MAX_PER_TILE / _DUP_SIDE / _FAT_*).
@@ -142,7 +147,7 @@ def main():
         opt,
         gen_size=(gen_size, gen_size),
         gt_size=(H, W),
-        normal_size=(gen_size, gen_size),
+        normal_size=(normal_size, normal_size),
         raster=raster,
         raster_gen=raster_gen,
         raster_gt=raster_gt,

