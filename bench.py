@@ -110,7 +110,8 @@ def main():
     # ---- Phase 4: forward render FPS at 512px ----
     if time.time() < deadline - 30:
         try:
-            fps = _render_fps(params, model, deadline)
+            fps, roof = _render_fps(params, model, deadline)
+            result.update(roof)
             baseline_raster_per_s = 11.7  # implied by 0.83 steps/s x 14 rasters
             result[f"fwd_render_fps_512px_{n}surfels"] = round(fps, 2)
             result["fwd_render_fps_vs_baseline"] = round(
@@ -161,6 +162,7 @@ def _render_fps(params, model, deadline):
 
     iters = 20
     fps = 0.0
+    rep_fps = []
     phase_deadline = time.time() + 60.0  # tenancy-spike wall cap
     for _rep in range(3):
         if fps > 0.0 and time.time() > phase_deadline:
@@ -173,8 +175,18 @@ def _render_fps(params, model, deadline):
             s = fwd(params, s)
         _ = float(s)
         dt = time.time() - t0
+        rep_fps.append(round(iters / dt, 2))
         fps = max(fps, iters / dt)
-    return fps
+    import bench_trainstep as B
+
+    roof = B.roofline_fields(
+        "render", 1.0 / fps, B.step_cost(fwd, params, jnp.zeros(()))
+    )
+    # Per-rep rates: a tenancy-stretched render measurement self-identifies
+    # (the r1->r4 18.66-vs-19.88 "regression" was invisible in a single
+    # best-of number — VERDICT r4 weak #6).
+    roof["render_rep_fps"] = rep_fps
+    return fps, roof
 
 
 if __name__ == "__main__":

@@ -262,6 +262,56 @@ def build_scene():
     return params, model, ds, cfg
 
 
+# Single-chip v5e peaks for the roofline fields (override for other parts
+# with SOAR_PEAK_FLOPS / SOAR_PEAK_HBM_BPS): 197 bf16 TFLOP/s on the MXU,
+# 819 GB/s HBM.  The SDS step measures ~88% of HBM peak (PERFORMANCE.md
+# item 20) — hbm_util is the meaningful roofline for this workload; mfu is
+# reported against the bf16 peak for cross-framework comparison.
+def _peaks():
+    import os
+
+    return (
+        float(os.environ.get("SOAR_PEAK_FLOPS", 1.97e14)),
+        float(os.environ.get("SOAR_PEAK_HBM_BPS", 8.19e11)),
+    )
+
+
+def step_cost(jit_fn, *args):
+    """XLA-reported per-execution totals for a jitted fn at ``args``:
+    ``{"flops": ..., "bytes": ...}`` — or None when the backend doesn't
+    expose ``cost_analysis``.  ``lower()`` retraces on the host (seconds);
+    ``compile()`` hits the persistent executable cache since the timed
+    program was already built with identical shapes."""
+    try:
+        ca = jit_fn.lower(*args).compile().cost_analysis()
+        d = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return {
+            "flops": float(d.get("flops", 0.0)),
+            "bytes": float(d.get("bytes accessed", 0.0)),
+        }
+    except Exception as e:  # noqa: BLE001 - roofline is best-effort telemetry
+        print(f"[bench] cost_analysis unavailable: {e!r}", file=sys.stderr)
+        return None
+
+
+def roofline_fields(label, per_step_s, cost):
+    """VERDICT r4 task 5: achieved GB/s + FLOP/s and their utilization vs
+    the chip peaks, emitted with every bench run (the numbers every
+    bytes-vs-flops optimization decision in PERFORMANCE.md is judged
+    against)."""
+    if cost is None or per_step_s <= 0:
+        return {}
+    peak_flops, peak_bps = _peaks()
+    gbps = cost["bytes"] / per_step_s / 1e9
+    tflops = cost["flops"] / per_step_s / 1e12
+    return {
+        f"hbm_gbps_{label}": round(gbps, 1),
+        f"hbm_util_{label}": round(cost["bytes"] / per_step_s / peak_bps, 3),
+        f"tflops_{label}": round(tflops, 2),
+        f"mfu_{label}": round(cost["flops"] / per_step_s / peak_flops, 3),
+    }
+
+
 def _rasters():
     """Production raster configs + the SOAR_BENCH_* A/B override knobs
     (FAT_BUDGET/_FAT_GEN/_FAT_GT set the two-tier fat budget — 0 = single-
@@ -363,9 +413,15 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
             # same device buffers each call (pointers, not transfers).
             return jit_fn(state, batch, key, gparams)
 
+        fn.cost_thunk = lambda state, batch, key: step_cost(
+            jit_fn, state, batch, key, gparams
+        )
         prelude = None
     else:
         fn = jit_fn
+        fn.cost_thunk = lambda state, batch, key: step_cost(
+            jit_fn, state, batch, key
+        )
         # Fused no-grad half (renders + VAE + UNet target, one program,
         # weights as jit args) — 2 dispatches/step, not 3.
         prelude = (
@@ -508,6 +564,19 @@ def time_steps(
         # self-identifies (huge spread / single slow batch).
         f"batch_dts_{label.replace('-', '_')}": batch_dts,
     }
+    cost_thunk = getattr(step_fn, "cost_thunk", None)
+    if cost_thunk is not None and dt != float("inf"):
+        # Roofline: XLA-reported bytes/FLOPs over the best measured step
+        # time.  The fused production default covers the whole step in one
+        # program; in split mode the batch here lacks the prelude's
+        # sds_target so the retrace fails and step_cost returns None —
+        # fields are simply absent for that A/B-only mode.
+        canaries.update(
+            roofline_fields(
+                label.replace("-", "_"), dt / iters,
+                cost_thunk(state, batch, key),
+            )
+        )
     return iters / dt, canaries
 
 

@@ -207,6 +207,23 @@ def main(argv=None):
         "dense XLA cumprod vs the fused blocked-Pallas kernel",
     )
     ap.add_argument(
+        "--max-per-tile", type=int, default=None,
+        help="per-tile compositing capacity K (RasterConfig.max_per_tile, "
+        "default 96). The step is HBM-bandwidth-bound and the dominant "
+        "[tiles, pixels, K] composite bytes scale linearly in K; K=64 "
+        "measured ~14%% faster (PERFORMANCE.md item 22) at the cost of "
+        "more dropped farthest-in-tile splats (image-space bound: "
+        "scripts/bench_truncation.py)",
+    )
+    ap.add_argument(
+        "--composite-dtype", type=str, default=None,
+        choices=["f32", "bf16"],
+        help="dtype of the [tiles, pixels, K] composite intermediates "
+        "(RasterConfig.composite_dtype, default f32). bf16 halves the "
+        "bytes of the bandwidth-bound composite; channel contractions "
+        "still accumulate in f32 and the splat set is decided in f32",
+    )
+    ap.add_argument(
         "--gt-cache", type=str, default="auto",
         choices=["auto", "pin", "pin-u8", "lru"],
         help="per-frame GT batch device cache: pin = ALL frames resident "
@@ -362,6 +379,10 @@ def main(argv=None):
               "(pallas composite is opaque to GSPMD)")
         args.composite = "xla"
     raster = RasterConfig(composite=args.composite)
+    if args.max_per_tile is not None:
+        raster = dc.replace(raster, max_per_tile=args.max_per_tile)
+    if args.composite_dtype is not None:
+        raster = dc.replace(raster, composite_dtype=args.composite_dtype)
 
     from ..train.lpips import make_lpips_fn, make_lpips_loss
 
