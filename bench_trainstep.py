@@ -331,19 +331,31 @@ def _rasters():
     dup = int(os.environ.get("SOAR_BENCH_DUP_SIDE", "5"))
     cdt = os.environ.get("SOAR_BENCH_COMPOSITE_DTYPE", "f32")
 
-    def _raster(env):
+    # Per-pass gen capacity (SOAR_BENCH_GEN_K): gen views render at the
+    # guidance resolution and only feed the SDS latents, so their K can
+    # ride below the GT K (image-space bound: scripts/bench_truncation.py
+    # measures the gen view separately).
+    gen_k = os.environ.get("SOAR_BENCH_GEN_K")
+
+    def _raster(env, k=None):
         fb = os.environ.get(env, os.environ.get("SOAR_BENCH_FAT_BUDGET"))
-        if fb is None:
+        if fb is None and k is None:
             return None
         return RasterConfig(
-            max_per_tile=mpt, dup_side=dup, fat_budget=int(fb),
+            max_per_tile=int(k) if k is not None else mpt,
+            dup_side=dup,
+            fat_budget=int(fb) if fb is not None else RasterConfig().fat_budget,
             composite=comp, composite_dtype=cdt,
         )
 
     raster = RasterConfig(
         max_per_tile=mpt, dup_side=dup, composite=comp, composite_dtype=cdt
     )
-    return raster, _raster("SOAR_BENCH_FAT_GEN"), _raster("SOAR_BENCH_FAT_GT")
+    return (
+        raster,
+        _raster("SOAR_BENCH_FAT_GEN", k=gen_k),
+        _raster("SOAR_BENCH_FAT_GT"),
+    )
 
 
 def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
