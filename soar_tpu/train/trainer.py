@@ -69,15 +69,22 @@ def init_train_state(
     optim_cfg = stage.optim if (stage is not None and stage.optim) else cfg.optim
     opt = make_optimizer(params, optim_cfg)
     bg = init_background(jax.random.PRNGKey(seed + 7))
-    return (
-        TrainState(
-            params=params,
-            bg_params=bg,
-            opt_state=opt.init(params),
-            step=jnp.zeros((), jnp.int32),
-        ),
-        opt,
+    state = TrainState(
+        params=params,
+        bg_params=bg,
+        opt_state=opt.init(params),
+        step=jnp.zeros((), jnp.int32),
     )
+    # Strip weak_type from every leaf: init leaves built from python
+    # scalars (jnp.full / scalar ops) carry weak_type=True, the updated
+    # leaves a step returns are strong, and jit treats that as a NEW input
+    # signature — measured as TWO full retraces of the 105 MB train-step
+    # executable over iterations 1-2 (minutes of cold tunnel compile per
+    # run, and the bench's mysterious 40 s "tenancy" first batch).
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.dtype(x.dtype)), state
+    )
+    return state, opt
 
 
 def gen_camera_config(cfg: TrainConfig, nv: int) -> CameraSampleConfig:
