@@ -103,9 +103,20 @@ def main(argv=None):
     ap.add_argument("--joints", type=int, default=10)
     ap.add_argument("--segments", type=int, default=7)
     ap.add_argument("--ring", type=int, default=28)
-    ap.add_argument("--subdiv", type=int, default=3,
-                    help="GT avatar subdivision (match cli.train "
-                    "--num-subdiv for a same-capacity recon target)")
+    ap.add_argument("--subdiv", type=int, default=1,
+                    help="GT avatar subdivision.  The GT must render "
+                    "TRUNCATION-FREE (--gt-k slots >= every tile's splat "
+                    "count, asserted via the overflow counters); past "
+                    "subdiv 1 the procedural body's surfels go sub-pixel "
+                    "and per-tile counts exceed any affordable K "
+                    "(PERFORMANCE.md item 24)")
+    ap.add_argument("--gt-scale-mult", type=float, default=1.5,
+                    help="scale_modifier for the GT renders (slight "
+                    "overlap keeps the silhouette watertight)")
+    ap.add_argument("--gt-k", type=int, default=512,
+                    help="per-tile capacity for the one-off GT renders — "
+                    "sized so NO splat is dropped (asserted): the GT is "
+                    "an exact composite, unlike the bounded production K")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--blob", action="store_true",
                     help="legacy painted-blob GT (layout-only smoke data; "
@@ -221,7 +232,21 @@ def main(argv=None):
         colors=jnp.asarray(np.log(gt_colors / (1 - gt_colors + 1e-6) + 1e-6))
     )
 
-    both = RenderSettings(use_explicit=True, both_faces=True)
+    import dataclasses
+
+    both = RenderSettings(
+        use_explicit=True,
+        both_faces=True,
+        raster=dataclasses.replace(
+            RenderSettings().raster,
+            scale_modifier=args.gt_scale_mult,
+            # Exact one-off composite: capacity above any per-tile count,
+            # single-tier grid wide enough for the fattened footprints.
+            max_per_tile=args.gt_k,
+            dup_side=3,
+            fat_budget=0,
+        ),
+    )
 
     @jax.jit
     def render_frame(frame_idx):
@@ -229,7 +254,8 @@ def main(argv=None):
             params, model, cam, (S, S), jnp.zeros(3), frame_idx, both
         )
         return (
-            front["render"], front["mask"], front["normal"], back["normal"]
+            front["render"], front["mask"], front["normal"], back["normal"],
+            front["overflow"],
         )
 
     def to_u8(x):
@@ -237,7 +263,14 @@ def main(argv=None):
 
     covs_all = []
     for i in range(F):
-        rgb, opac, n_f, n_b = render_frame(jnp.asarray(i))
+        rgb, opac, n_f, n_b, overflow = render_frame(jnp.asarray(i))
+        dropped, capped = (int(x) for x in np.asarray(overflow))
+        if dropped or capped:
+            raise SystemExit(
+                f"GT frame {i} is NOT an exact composite (dropped="
+                f"{dropped}, capped={capped}); raise --gt-k / lower "
+                f"--subdiv / lower --gt-scale-mult"
+            )
         mask = (np.asarray(opac) > 0.5).astype(np.uint8) * 255
         covs_all.append(float((mask > 0).mean()))
         rgb_u8 = to_u8(np.asarray(rgb) * (mask[..., None] > 0))
@@ -251,10 +284,16 @@ def main(argv=None):
                 os.path.join(args.out, f"{sub}/{i:05d}.png"),
                 rgba[..., [2, 1, 0, 3]],
             )
+    if min(covs_all) < 0.6 * covs[tz]:
+        raise SystemExit(
+            f"full-res GT coverage collapsed ({min(covs_all):.4f} vs probe "
+            f"{covs[tz]:.4f}) — per-tile K truncation is punching holes; "
+            f"lower --subdiv or raise --gt-scale-mult"
+        )
     print(
         f"wrote {F} rendered frames @ {S}px (coverage "
-        f"{min(covs_all):.3f}-{max(covs_all):.3f}) + smplx/params.pth "
-        f"under {args.out}"
+        f"{min(covs_all):.3f}-{max(covs_all):.3f}, probe {covs[tz]:.3f}) "
+        f"+ smplx/params.pth under {args.out}"
     )
 
 
