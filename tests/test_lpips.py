@@ -8,6 +8,7 @@ with the LPIPS terms enabled.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from soar_tpu.avatar import init_avatar
@@ -100,6 +101,7 @@ def test_lpips_converter_shapes():
     assert np.isfinite(float(d[0]))
 
 
+@pytest.mark.slow
 def test_train_step_with_lpips_terms():
     ds, _ = make_synthetic_sequence(num_frames=4, image_size=(96, 96))
     body = make_test_body(num_joints=4, segments_per_bone=3, ring=8)

@@ -73,6 +73,7 @@ def _make_step(model, opt, shard_views=None, shard_gt=None):
     )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded(setup):
     ds, params, model = setup
     assert len(jax.devices()) >= N_DEV, "conftest must force 8 CPU devices"
@@ -226,6 +227,7 @@ def _make_prod_step(model, opt, shard_views=None, shard_gt=None):
     )
 
 
+@pytest.mark.slow
 def test_sharded_production_step_matches_unsharded(prod_setup):
     """Sharded == unsharded on the PRODUCTION step shape: hash-field query,
     both-faces normal composite, LPIPS, selective remat — all under GSPMD."""

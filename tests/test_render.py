@@ -223,6 +223,7 @@ def test_tiled_matches_oracle(sort_descending):
     np.testing.assert_allclose(b.depth, a.depth, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_tiled_gradients_match_oracle():
     cfg = RasterConfig(max_per_tile=64, dup_side=4)
     g = make_scene(n=30)

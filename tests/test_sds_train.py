@@ -72,6 +72,7 @@ def _make_step(setup, stage, guidance_fn, head_prob=0.0, n_views=2):
     return state, step_fn, ds, model
 
 
+@pytest.mark.slow
 def test_guidance_receives_cameras_and_refs(setup):
     """The guidance must see [V,4,4] gen c2w, the per-stage ref image/mask,
     and the first view's background — shapes pinned at trace time."""
@@ -105,6 +106,7 @@ def test_guidance_receives_cameras_and_refs(setup):
     assert "sds_grad_norm" in metrics
 
 
+@pytest.mark.slow
 def test_occ_hook_modulates_sds_gradient(setup):
     """With occ forced high, exp(-3*occ) must shrink the SDS pull on the
     params relative to occ == 0 — the trainer-level check of the reference's
@@ -166,6 +168,7 @@ def test_occ_hook_modulates_sds_gradient(setup):
     assert grads["high"] < grads["low"] * 0.5, grads
 
 
+@pytest.mark.slow
 def test_tiny_imagedream_stage0_stage1(setup):
     """Stage-0 (normal SDS) -> stage-1 (RGB SDS) with the real tiny-config
     UNet + VAE + CLIP/Resampler image conditioning: finite losses, params
@@ -193,6 +196,7 @@ def test_tiny_imagedream_stage0_stage1(setup):
         assert np.isfinite(float(metrics["loss_sds"])), metrics
 
 
+@pytest.mark.slow
 def test_mvdream_guidance_text_only(setup):
     stage = StageConfig(
         training_stage=0, sds_start=0,
@@ -208,6 +212,7 @@ def test_mvdream_guidance_text_only(setup):
     assert np.isfinite(float(metrics["loss_sds"]))
 
 
+@pytest.mark.slow
 def test_split_sds_matches_fused(setup):
     """split-SDS (prelude + separate UNet-target program + grad-half step)
     must reproduce the fused single-program step: same RNG path, same
@@ -287,6 +292,7 @@ def test_split_sds_matches_fused(setup):
     )
 
 
+@pytest.mark.slow
 def test_sds_via_params_matches_fused(setup):
     """The fused-args mode (weights as a jit argument pytree) must equal the
     closure-fused step.  Image conditioning goes through precomputed ref_ip
@@ -384,6 +390,7 @@ def test_for_stage_rebinds_without_reconverting(setup):
     assert not np.allclose(np.asarray(t0), np.asarray(t1))
 
 
+@pytest.mark.slow
 def test_make_mvdream_step(setup):
     """The registry constructor must be callable with defaults overridden
     (VERDICT r1 weak #2)."""
@@ -441,6 +448,7 @@ def test_head_camera_mixing():
     d_body = float(jnp.linalg.norm(body_c2w[:, :3, 3], axis=-1).mean())
     assert d_body > 1.0  # body cameras are far; head cameras close
 
+@pytest.mark.slow
 def test_warm_step_matches_sds_program_before_sds_start(setup):
     """cli.train runs a separate guidance-free program for stage-0 steps
     <= sds_start (no prelude/UNet work).  That is only sound if the SDS
