@@ -123,6 +123,15 @@ def main(argv=None):
     ap.add_argument("--eval", action="store_true", help="run test split at end")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--dump-every", type=int, default=250)
+    ap.add_argument(
+        "--save-every", type=int, default=0,
+        help="mid-stage checkpoint every N steps to <out>/stage<K> (0 = "
+        "stage-end only). A crashed/killed run then restarts from the "
+        "last save via --resume <out>/stage<K> — the stage loop "
+        "continues at the saved step. Written for the axon transport's "
+        "host-side memory growth (~GB-scale over hundreds of steps), "
+        "which can OOM a long run through no fault of the device program",
+    )
     ap.add_argument("--val-every", type=int, default=250)
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument(
@@ -678,13 +687,19 @@ def main(argv=None):
         if trace_ctx:
             trace_ctx.__enter__()
         n_steps = stage_cfg.max_steps
-        # --resume restores the step counter into the FIRST stage run
-        # (schedules / SDS warm-up / the loop continue from there instead
-        # of replaying; a fully-trained stage (saved step == max_steps)
-        # falls straight through to the next stage).  Later stages start
-        # fresh at 0 — stage handoff carries params only, matching the
-        # reference's resume: geometry_convert_from semantics.
-        start_it = min(resume_step, n_steps)
+        # --resume restores the step counter ONLY when resuming the SAME
+        # stage the checkpoint came from (path basename "stage<K>"):
+        # schedules / SDS warm-up / the loop continue from the saved step
+        # instead of replaying.  A checkpoint from a DIFFERENT stage is a
+        # hand-off — params only, step 0 — matching the reference's
+        # resume: geometry_convert_from semantics.  (Previously the
+        # stage-0 step counter leaked into a --stage 1 --resume
+        # <out>/stage0 run: min(1000, max_steps) skipped the whole stage
+        # and "trained" stage 1 as a no-op copy.)
+        same_stage = args.resume is not None and os.path.basename(
+            os.path.normpath(args.resume)
+        ) == f"stage{st}"
+        start_it = min(resume_step, n_steps) if same_stage else 0
         resume_step = 0
         if start_it > 0:
             state = state._replace(step=jnp.asarray(start_it, jnp.int32))
@@ -762,6 +777,16 @@ def main(argv=None):
                     timer.summary().get("step", 0.0), 3
                 )
                 print(f"stage {st} it {it} ({time.time()-t0:.1f}s):", json.dumps(m))
+            if args.save_every > 0 and it > 0 and it % args.save_every == 0:
+                p_host = (
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(np.asarray(x)), state.params
+                    )
+                    if mesh is not None
+                    else state.params
+                )
+                save_avatar(os.path.join(args.out, f"stage{st}"), p_host, step=it)
+                print(f"checkpointed stage {st} @ it {it}", flush=True)
             if args.dump_every > 0 and it > 0 and it % args.dump_every == 0:
                 out_dbg = render_view(
                     state.params, model, batch["gt_cam"], ds.image_size,
