@@ -126,6 +126,19 @@ def main():
         result["phases_skipped"].append("render_fps")
         _emit(result)
 
+    # ---- Phase 5: truncation canary (tiled vs exact oracle, probe px) ----
+    if time.time() < deadline:
+        try:
+            result.update(B.truncation_probe(params, model))
+            result["phases_completed"].append("truncation_probe")
+            _emit(result)
+        except Exception as e:  # noqa: BLE001
+            result["error_truncation_probe"] = f"{type(e).__name__}: {e}"[:300]
+            _emit(result)
+    else:
+        result["phases_skipped"].append("truncation_probe")
+        _emit(result)
+
     sys.exit(0 if result["phases_completed"] else 1)
 
 

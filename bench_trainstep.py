@@ -703,6 +703,70 @@ def phase_sds(scene, lpips_fn, deadline=None, provisional_cb=None):
     return frag, s
 
 
+def truncation_probe(params, model, n_pix=4096, image_size=(512, 512)):
+    """Per-bench-run truncation canary (VERDICT r4 task 3): PSNR of the
+    production tiled render against the EXACT reference-semantics oracle
+    (``render/oracle.rasterize_oracle_at``) at ``n_pix`` deterministic
+    probe pixels of the bench GT view.  A full-image oracle at 512px x
+    125k surfels costs minutes; the probe costs seconds and rides along
+    with every artifact.  NOTE the bench scene is FRESH-INIT — the
+    worst case for per-tile truncation (PERFORMANCE.md item 24); the
+    trained-state bound comes from scripts/bench_truncation.py --ckpt."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from soar_tpu.avatar import RenderSettings
+    from soar_tpu.avatar.renderer import posed_gaussians, query_attributes
+    from soar_tpu.core.camera import camera_from_c2w
+    from soar_tpu.render.oracle import rasterize_oracle_at
+    from soar_tpu.render.tiled import rasterize
+
+    raster, _, _ = _rasters()
+    settings = RenderSettings(use_explicit=False, raster=raster)
+    attrs = query_attributes(params, model)
+    g, _ = posed_gaussians(
+        params, model, jnp.asarray(0), settings, attrs=attrs
+    )
+    cam = camera_from_c2w(
+        jnp.eye(4), jnp.asarray(0.7), jnp.asarray(0.7), znear=0.1, zfar=100.0
+    )
+    H, W = image_size
+    bg = jnp.zeros(3)
+    out = jax.jit(
+        lambda g: rasterize(g, cam, image_size, bg, raster)
+    )(g)
+    rng = np.random.RandomState(0)
+    xs = rng.randint(0, W, n_pix)
+    ys = rng.randint(0, H, n_pix)
+    pix = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
+    o_color, o_normal, _d, o_opac, _t = jax.jit(
+        lambda g, p: rasterize_oracle_at(g, cam, image_size, bg, p, raster)
+    )(g, pix)
+    t_color = np.asarray(out.color)[ys, xs]
+    t_normal = np.asarray(out.normal)[ys, xs]
+    o_color = np.asarray(o_color)
+    o_normal = np.asarray(o_normal)
+    m = np.asarray(o_opac) > 1e-3  # inside the oracle silhouette
+
+    def psnr(a, b):
+        mse = float(np.mean((a[m] - b[m]) ** 2))
+        return float("inf") if mse == 0 else round(
+            10.0 * float(np.log10(1.0 / mse)), 2
+        )
+
+    ov = np.asarray(out.overflow)
+    return {
+        "truncation_probe_pixels": int(m.sum()),
+        "truncation_color_psnr_fresh_init": psnr(t_color, o_color),
+        "truncation_normal_psnr_fresh_init": psnr(
+            (t_normal + 1) / 2, (o_normal + 1) / 2
+        ),
+        "truncation_probe_dropped": int(ov[0]),
+        "truncation_probe_capped": int(ov[1]),
+    }
+
+
 def schedule_average(s_plain, s_sds, n_surfels):
     """The reference's 0.83 steps/s is a SCHEDULE AVERAGE: its ~40 min
     covers 1000 s0 + 1000 s1 steps (``..._s0.yaml:137``), with SDS gated

@@ -20,14 +20,20 @@ from .preprocess import depth_differencing, preprocess
 from .types import GaussianInputs, RasterConfig, RenderOutputs
 
 
-def rasterize_oracle(
+def _oracle_chunk_renderer(
     g: GaussianInputs,
     camera: Camera,
     image_size: Tuple[int, int],
     bg_color: jnp.ndarray,
-    cfg: RasterConfig = RasterConfig(),
-    pixel_chunk: int = 4096,
-) -> RenderOutputs:
+    cfg: RasterConfig,
+):
+    """Shared preprocess + global sort + per-pixel-chunk compositor.
+
+    Returns ``render_chunk(pix[p, 2]) -> (color, normal, depth, opac, T)``
+    — the exact reference semantics at ARBITRARY pixel coordinates, which
+    lets :func:`rasterize_oracle_at` bound the tiled rasterizer's
+    truncation error from a SUBSAMPLE of pixels at production scale
+    (full-image oracle cost is O(N*H*W); a 4k-pixel probe is ~1/64th)."""
     H, W = image_size
     pre = preprocess(g, camera, image_size, cfg)
 
@@ -58,16 +64,6 @@ def rasterize_oracle(
     rect_min_y = jnp.clip(jnp.floor((xy[:, 1] - radius) / tile), 0, nty)
     rect_max_x = jnp.clip(jnp.floor((xy[:, 0] + radius + tile - 1) / tile), 0, ntx)
     rect_max_y = jnp.clip(jnp.floor((xy[:, 1] + radius + tile - 1) / tile), 0, nty)
-
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
-    px, py = jnp.meshgrid(xs, ys, indexing="xy")
-    pix = jnp.stack([px, py], axis=-1).reshape(-1, 2)  # [P, 2]
-
-    P = pix.shape[0]
-    pad = (-P) % pixel_chunk
-    pix_padded = jnp.pad(pix, ((0, pad), (0, 0)))
-    chunks = pix_padded.reshape(-1, pixel_chunk, 2)
 
     bg = jnp.asarray(bg_color)
 
@@ -106,9 +102,48 @@ def rasterize_oracle(
             cfg.normalize_depth,
         )
 
+    return render_chunk
+
+
+def rasterize_oracle_at(
+    g: GaussianInputs,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    pix: jnp.ndarray,
+    cfg: RasterConfig = RasterConfig(),
+):
+    """Exact-composite outputs at arbitrary pixel centers ``pix [P, 2]``
+    (x, y float coords).  Returns ``(color[P, C], normal[P, 3], depth[P],
+    opac[P], T[P])``."""
+    render_chunk = _oracle_chunk_renderer(g, camera, image_size, bg_color, cfg)
+    return render_chunk(pix)
+
+
+def rasterize_oracle(
+    g: GaussianInputs,
+    camera: Camera,
+    image_size: Tuple[int, int],
+    bg_color: jnp.ndarray,
+    cfg: RasterConfig = RasterConfig(),
+    pixel_chunk: int = 4096,
+) -> RenderOutputs:
+    H, W = image_size
+    render_chunk = _oracle_chunk_renderer(g, camera, image_size, bg_color, cfg)
+
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")
+    pix = jnp.stack([px, py], axis=-1).reshape(-1, 2)  # [P, 2]
+
+    P = pix.shape[0]
+    pad = (-P) % pixel_chunk
+    pix_padded = jnp.pad(pix, ((0, pad), (0, 0)))
+    chunks = pix_padded.reshape(-1, pixel_chunk, 2)
+
     color, normal, depth, opac_out, T = jax.lax.map(render_chunk, chunks)
 
-    C = colors.shape[-1]
+    C = color.shape[-1]
     color = color.reshape(-1, C)[:P].reshape(H, W, C)
     normal = normal.reshape(-1, 3)[:P].reshape(H, W, 3)
     depth = depth.reshape(-1)[:P].reshape(H, W)

@@ -223,6 +223,32 @@ def test_tiled_matches_oracle(sort_descending):
     np.testing.assert_allclose(b.depth, a.depth, atol=3e-3)
 
 
+def test_oracle_at_pixels_matches_full_oracle():
+    """rasterize_oracle_at (the bench truncation-probe's subsampled
+    oracle) must agree EXACTLY with the full-image oracle at the probed
+    coordinates — it is the same chunk renderer behind both."""
+    from soar_tpu.render.oracle import rasterize_oracle_at
+
+    cfg = RasterConfig(max_per_tile=64, dup_side=4)
+    g = make_scene(n=60)
+    cam = make_camera()
+    H = W = 64
+    bg = jnp.array([0.1, 0.1, 0.1])
+    full = rasterize_oracle(g, cam, (H, W), bg, cfg, pixel_chunk=512)
+    rng = np.random.RandomState(0)
+    xs = rng.randint(0, W, 200)
+    ys = rng.randint(0, H, 200)
+    pix = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
+    color, normal, depth, opac, _t = rasterize_oracle_at(
+        g, cam, (H, W), bg, pix, cfg
+    )
+    np.testing.assert_allclose(color, np.asarray(full.color)[ys, xs], atol=1e-6)
+    np.testing.assert_allclose(opac, np.asarray(full.opac)[ys, xs], atol=1e-6)
+    np.testing.assert_allclose(
+        normal, np.asarray(full.normal)[ys, xs], atol=1e-6
+    )
+
+
 @pytest.mark.slow
 def test_tiled_gradients_match_oracle():
     cfg = RasterConfig(max_per_tile=64, dup_side=4)
