@@ -67,6 +67,12 @@ def main(argv=None):
                     help="also append the JSON result to this file")
     ap.add_argument("--oracle-chunk", type=int, default=256,
                     help="oracle pixel chunk (memory vs dispatch tradeoff)")
+    ap.add_argument("--dataroot", type=str, default=None,
+                    help="measure on a capture scene (with --smpl-model/"
+                    "--num-subdiv) instead of the 125k bench scene — for "
+                    "--ckpt files trained at other shapes")
+    ap.add_argument("--smpl-model", type=str, default="test:10,7,28")
+    ap.add_argument("--num-subdiv", type=int, default=2)
     args = ap.parse_args(argv)
 
     import jax
@@ -87,6 +93,14 @@ def main(argv=None):
 
         ds, params, model = synthetic_setup(distill_steps=0)
         H = W = 128
+    elif args.dataroot:
+        from soar_tpu.cli.common import real_setup
+
+        ds, params, model = real_setup(
+            args.dataroot, args.smpl_model, num_subdiv=args.num_subdiv,
+            distill_steps=0,
+        )
+        H, W = ds.image_size
     else:
         from bench_trainstep import build_scene
 
