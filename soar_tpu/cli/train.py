@@ -772,6 +772,9 @@ def main(argv=None):
                 trace_ctx = None
             if it % args.log_every == 0 or it == n_steps - 1:
                 m = {k: round(float(v), 5) for k, v in metrics.items()}
+                # Stage tag: step numbers alone cannot distinguish a
+                # stage boundary from a --resume restart in metrics.jsonl.
+                m["stage"] = st
                 logger.log(global_step_base + it, m)
                 m["sec_per_step"] = round(
                     timer.summary().get("step", 0.0), 3
