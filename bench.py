@@ -16,10 +16,15 @@ Phase order (fastest-compiling, headline-critical first):
   4. 2000-step schedule average     (500 no-SDS + 1500 SDS mix — the
      apples-to-apples headline vs the reference's 0.83 steps/s / ~40 min
      on an RTX A5000, BASELINE.md)
+  5. truncation probe               (tiled vs exact-oracle PSNR at 4096
+     probe pixels — the per-run image-space bound on the bounded-K
+     composite approximation, PERFORMANCE.md items 24-25)
 
-Rasterizer canaries (`raster_capped` must be 0; `raster_dropped` benign)
-are reported fields.  All timings best-of-3 batches against the ~3-7x
-shared-tenancy variance of the TPU tunnel.
+Rasterizer canaries (`raster_capped` must be 0; `raster_dropped` is
+bounded by the truncation probe, not assumed benign) are reported
+fields.  Roofline fields (hbm_util / mfu) ride with each timed phase.
+All timings best-of-3 batches against the ~3-7x shared-tenancy variance
+of the TPU tunnel.
 """
 
 from __future__ import annotations
@@ -155,7 +160,7 @@ def _render_fps(params, model, deadline):
     )
     settings = RenderSettings(
         use_explicit=False,
-        raster=RasterConfig(max_per_tile=96, dup_side=5),
+        raster=RasterConfig(max_per_tile=64, dup_side=5, composite_dtype="bf16"),
     )
 
     @jax.jit

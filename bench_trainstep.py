@@ -327,9 +327,9 @@ def _rasters():
     # sort.  The capped==0 canary stays the acceptance gate for any sweep.
     # COMPOSITE_DTYPE=bf16 rides the [NT, pixels, K] intermediates in bf16
     # with f32 channel accumulation (RasterConfig.composite_dtype).
-    mpt = int(os.environ.get("SOAR_BENCH_MAX_PER_TILE", "96"))
+    mpt = int(os.environ.get("SOAR_BENCH_MAX_PER_TILE", "64"))
     dup = int(os.environ.get("SOAR_BENCH_DUP_SIDE", "5"))
-    cdt = os.environ.get("SOAR_BENCH_COMPOSITE_DTYPE", "f32")
+    cdt = os.environ.get("SOAR_BENCH_COMPOSITE_DTYPE", "bf16")
 
     # Per-pass gen capacity (SOAR_BENCH_GEN_K): gen views render at the
     # guidance resolution and only feed the SDS latents, so their K can
@@ -381,7 +381,7 @@ def build_step(params, model, ds, cfg, guidance_fn, stage, lpips_pair):
     # Gen-view render resolution (SOAR_BENCH_GEN_RES): the reference
     # renders gen at 512 then downsamples to 256 before the VAE; 256
     # renders AT the guidance resolution — 4x fewer gen-composite bytes.
-    gen_res = int(os.environ.get("SOAR_BENCH_GEN_RES", "512"))
+    gen_res = int(os.environ.get("SOAR_BENCH_GEN_RES", "256"))
     H, W = ds.images.shape[1:3]
     state, opt = init_train_state(params, cfg, stage=stage)
     raw = make_train_step(

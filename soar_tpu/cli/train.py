@@ -175,9 +175,10 @@ def main(argv=None):
                     "bench path for this zero-egress environment)")
     ap.add_argument("--guidance-image-size", type=int, default=256)
     ap.add_argument(
-        "--gen-res", type=int, default=None,
-        help="resolution of the SDS gen-view renders (default: the config "
-        "data.width, 512 in every shipped YAML).  The reference renders "
+        "--gen-res", type=int, default=256,
+        help="resolution of the SDS gen-view renders (default 256 — the "
+        "promoted production default, PERFORMANCE.md item 25: render AT "
+        "the guidance resolution).  The reference renders "
         "gen at 512 and immediately downsamples to 256 before the VAE "
         "(imagedream_guidance.py:91-98); 256 renders the gen views AT the "
         "guidance resolution — ~4x fewer bytes through the composite (the "
@@ -216,19 +217,20 @@ def main(argv=None):
         "dense XLA cumprod vs the fused blocked-Pallas kernel",
     )
     ap.add_argument(
-        "--max-per-tile", type=int, default=None,
-        help="per-tile compositing capacity K (RasterConfig.max_per_tile, "
-        "default 96). The step is HBM-bandwidth-bound and the dominant "
+        "--max-per-tile", type=int, default=64,
+        help="per-tile compositing capacity K (default 64 — promoted, "
+        "PERFORMANCE.md item 25; RasterConfig parity default is 96). The step is HBM-bandwidth-bound and the dominant "
         "[tiles, pixels, K] composite bytes scale linearly in K; K=64 "
         "measured ~14%% faster (PERFORMANCE.md item 22) at the cost of "
         "more dropped farthest-in-tile splats (image-space bound: "
         "scripts/bench_truncation.py)",
     )
     ap.add_argument(
-        "--composite-dtype", type=str, default=None,
+        "--composite-dtype", type=str, default="bf16",
         choices=["f32", "bf16"],
         help="dtype of the [tiles, pixels, K] composite intermediates "
-        "(RasterConfig.composite_dtype, default f32). bf16 halves the "
+        "(default bf16 — promoted, item 25; trained-state PSNR vs the "
+        "exact oracle is identical to f32 to 2 decimals). bf16 halves the "
         "bytes of the bandwidth-bound composite; channel contractions "
         "still accumulate in f32 and the splat set is decided in f32",
     )
